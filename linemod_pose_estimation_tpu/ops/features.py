@@ -1,0 +1,232 @@
+"""Quantized LINEMOD modalities: the front half of the cv::linemod engine
+(SURVEY.md section 2.2 E1), as vectorized JAX ops.
+
+Pipeline per frame (all static shapes, jit/vmap-friendly):
+
+  rgb ──gaussian_blur7──sobel3──► strongest-channel gradient
+      ──quantize to 8 orientation bins (16 folded) ──hysteresis 3x3 vote──►
+      quantized bitmask u8 (one-hot 1<<bin, 0 = no orientation)
+
+  depth ──masked 2x2 LS plane fit over 8 neighbours──► (ddx, ddy)
+        ──azimuth quantize to 8 bins──► quantized bitmask u8
+
+  bitmask ──orientation_spread (TxT OR-dilation)──► spread mask
+          ──response_maps (max-cosine LUT)──► R[8, H, W] u8 in {0,3,4}
+
+Numeric conventions follow OpenCV's ColorGradient / DepthNormal modalities:
+7x7 Gaussian (fixed small-kernel taps), 3x3 Sobel with reflect-101 borders,
+squared-magnitude thresholds, 16->8 orientation folding, 3x3 neighbourhood
+vote with >= 5 agreement, spread offsets in [0, T), and the 4/3/0
+exact/adjacent/other response table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# OpenCV getGaussianKernel fixed taps for ksize=7 (sigma<=0).
+_GAUSS7 = jnp.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+                    dtype=jnp.float32)
+
+NUM_ORIENTATIONS = 8
+# Response table by circular bin distance: exact=4, adjacent=3, else 0.
+RESPONSE_EXACT = 4
+RESPONSE_ADJACENT = 3
+
+
+def _reflect_pad2d(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, [(p, p), (p, p)], mode="reflect")
+
+
+def gaussian_blur7(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 7x7 Gaussian on (H, W) float32, reflect-101 borders."""
+    p = 3
+    x = _reflect_pad2d(img, p)
+    # Horizontal then vertical 1-D convolutions via shifted adds (7 taps each
+    # — XLA fuses these into a couple of vector passes).
+    H, W = img.shape
+    acc = jnp.zeros((H + 2 * p, W), jnp.float32)
+    for i in range(7):
+        acc = acc + _GAUSS7[i] * jax.lax.dynamic_slice(x, (0, i), (H + 2 * p, W))
+    out = jnp.zeros((H, W), jnp.float32)
+    for i in range(7):
+        out = out + _GAUSS7[i] * jax.lax.dynamic_slice(acc, (i, 0), (H, W))
+    return out
+
+
+def sobel3(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 Sobel dx, dy on (H, W) float32, reflect-101 borders."""
+    p = 1
+    x = _reflect_pad2d(img, p)
+    H, W = img.shape
+
+    def sh(dy, dx):
+        return jax.lax.dynamic_slice(x, (dy + 1, dx + 1), (H, W))
+
+    # Smoothing [1,2,1] along one axis, derivative [-1,0,1] along the other.
+    dx = (
+        (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+        - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))
+    )
+    dy = (
+        (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+        - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
+    )
+    return dx, dy
+
+
+def quantize_color_gradient(
+    rgb: jnp.ndarray, weak_threshold: float = 10.0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W, C) uint8/float image -> (quantized bitmask u8, magnitude^2).
+
+    Per OpenCV ColorGradient::quantizedOrientations: blur each channel,
+    Sobel, keep the strongest channel's gradient per pixel, quantize the
+    0..360 angle into 16 bins folded to 8, then 3x3 hysteresis voting
+    (center magnitude^2 > weak_threshold^2, >= 5 of 9 neighbour agreement).
+    """
+    img = rgb.astype(jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    C = img.shape[-1]
+    dxs, dys, mags = [], [], []
+    for c in range(C):
+        ch = gaussian_blur7(img[..., c])
+        dx, dy = sobel3(ch)
+        dxs.append(dx)
+        dys.append(dy)
+        mags.append(dx * dx + dy * dy)
+    dx = jnp.stack(dxs, -1)
+    dy = jnp.stack(dys, -1)
+    mag = jnp.stack(mags, -1)
+    best = jnp.argmax(mag, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
+    dx, dy, mag2 = take(dx), take(dy), take(mag)
+
+    angle = jnp.degrees(jnp.arctan2(dy, dx))  # (-180, 180]
+    angle = jnp.where(angle < 0, angle + 360.0, angle)
+    bin16 = jnp.round(angle * (16.0 / 360.0)).astype(jnp.int32) & 15
+    bin8 = bin16 & 7
+
+    weak2 = weak_threshold * weak_threshold
+    strong_px = mag2 > weak2
+
+    # 3x3 vote: one-hot planes box-filtered; all 9 neighbours vote with their
+    # unfiltered quantized bin (OpenCV hysteresisGradient).
+    onehot = (bin8[None] == jnp.arange(8, dtype=jnp.int32)[:, None, None]).astype(jnp.int32)
+    H, W = bin8.shape
+    planes = jnp.pad(onehot, [(0, 0), (1, 1), (1, 1)])
+
+    def box(pl):
+        s = jnp.zeros((H, W), jnp.int32)
+        for oy in range(3):
+            for ox in range(3):
+                s = s + jax.lax.dynamic_slice(pl, (oy, ox), (H, W))
+        return s
+
+    votes = jax.vmap(box)(planes)  # (8, H, W)
+    max_votes = jnp.max(votes, axis=0)
+    win = jnp.argmax(votes, axis=0)
+    ok = strong_px & (max_votes >= 5)
+    quant = jnp.where(ok, (1 << win).astype(jnp.uint8), jnp.uint8(0))
+    return quant, mag2
+
+
+def quantize_depth_normal(
+    depth_mm: jnp.ndarray,
+    distance_threshold: float = 2000.0,
+    difference_threshold: float = 50.0,
+) -> jnp.ndarray:
+    """Depth (H, W) in mm (0 = invalid) -> quantized surface-normal bitmask.
+
+    Per OpenCV DepthNormal::quantizedNormals: least-squares plane fit over
+    the 8-neighbourhood (depth differences beyond `difference_threshold`
+    rejected as discontinuities, pixels beyond `distance_threshold` ignored),
+    then the depth-gradient azimuth quantized into 8 bins.
+    """
+    d = depth_mm.astype(jnp.float32)
+    H, W = d.shape
+    pd = jnp.pad(d, [(1, 1), (1, 1)])
+
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    A00 = jnp.zeros((H, W), jnp.float32)
+    A01 = jnp.zeros((H, W), jnp.float32)
+    A11 = jnp.zeros((H, W), jnp.float32)
+    b0 = jnp.zeros((H, W), jnp.float32)
+    b1 = jnp.zeros((H, W), jnp.float32)
+    for oy, ox in offsets:
+        nb = jax.lax.dynamic_slice(pd, (oy + 1, ox + 1), (H, W))
+        delta = nb - d
+        ok = (nb > 0) & (jnp.abs(delta) < difference_threshold)
+        u, v = float(ox), float(oy)
+        w = ok.astype(jnp.float32)
+        A00 += w * u * u
+        A01 += w * u * v
+        A11 += w * v * v
+        b0 += w * u * delta
+        b1 += w * v * delta
+    det = A00 * A11 - A01 * A01
+    valid = (d > 0) & (d < distance_threshold) & (jnp.abs(det) > 1e-6)
+    inv_det = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
+    ddx = (A11 * b0 - A01 * b1) * inv_det
+    ddy = (A00 * b1 - A01 * b0) * inv_det
+
+    grad2 = ddx * ddx + ddy * ddy
+    has_grad = grad2 > 1e-8
+    angle = jnp.arctan2(ddy, ddx)  # (-pi, pi]
+    bin8 = jnp.round((angle + jnp.pi) * (8.0 / (2.0 * jnp.pi))).astype(jnp.int32) % 8
+    ok = valid & has_grad
+    return jnp.where(ok, (1 << bin8).astype(jnp.uint8), jnp.uint8(0))
+
+
+def orientation_spread(quant: jnp.ndarray, T: int) -> jnp.ndarray:
+    """OR-dilate the bitmask over the TxT neighbourhood of offsets [0, T).
+
+    OpenCV `spread`: spread_quant(y, x) = OR of quant(y+r, x+c) for
+    r, c in [0, T).
+    """
+    H, W = quant.shape
+    p = jnp.pad(quant, [(0, T - 1), (0, T - 1)])
+    out = jnp.zeros((H, W), jnp.uint8)
+    for r in range(T):
+        for c in range(T):
+            out = out | jax.lax.dynamic_slice(p, (r, c), (H, W))
+    return out
+
+
+def response_maps(spread_quant: jnp.ndarray) -> jnp.ndarray:
+    """Spread bitmask (H, W) -> per-orientation response maps (8, H, W) u8.
+
+    response[o] = max over set bits b of table[circ_dist(o, b)] with table
+    exact=4 / adjacent=3 / else 0 — OpenCV's SIMILARITY_LUT semantics.
+    """
+    s = spread_quant.astype(jnp.int32)
+    bits = [(s >> b) & 1 for b in range(8)]
+    maps = []
+    for o in range(8):
+        exact = bits[o]
+        adj = bits[(o - 1) % 8] | bits[(o + 1) % 8]
+        r = jnp.where(exact == 1, RESPONSE_EXACT, jnp.where(adj == 1, RESPONSE_ADJACENT, 0))
+        maps.append(r.astype(jnp.uint8))
+    return jnp.stack(maps, axis=0)
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::pyrDown: 5x5 Gaussian ([1,4,6,4,1]/16 separable) then decimate 2x.
+
+    Works on (H, W) float32; reflect-101 borders.
+    """
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+    p = 2
+    x = _reflect_pad2d(img.astype(jnp.float32), p)
+    H, W = img.shape
+    acc = jnp.zeros((H + 2 * p, W), jnp.float32)
+    for i in range(5):
+        acc = acc + k[i] * jax.lax.dynamic_slice(x, (0, i), (H + 2 * p, W))
+    out = jnp.zeros((H, W), jnp.float32)
+    for i in range(5):
+        out = out + k[i] * jax.lax.dynamic_slice(acc, (i, 0), (H, W))
+    return out[::2, ::2]
