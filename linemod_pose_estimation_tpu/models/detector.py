@@ -1,0 +1,172 @@
+"""The Detector: cv::linemod::Detector-compatible host API over the TPU
+scoring engine.
+
+Mirrors the public surface the reference uses (SURVEY.md section 2.2 E1):
+`add_template(sources, class_id, mask)`, `match(sources, threshold)`,
+`read/write` (YAML banks), `class_ids`, `num_templates`, plus direct bank
+attachment for params-yml metadata.  One Detector holds one or more classes;
+each class's bank is scored in a single batched device pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import match as M
+from .templates import (
+    DetectorParams,
+    RendererGlobals,
+    TemplateBank,
+    TemplateFeatures,
+    TemplateMetadata,
+    extract_template,
+)
+
+
+@dataclass
+class MatchResult:
+    """Host-side view of matches for one class (cv::linemod::Match analog)."""
+
+    class_id: str
+    x: np.ndarray  # (M,) int
+    y: np.ndarray
+    template_id: np.ndarray
+    similarity: np.ndarray  # percent
+
+    def __len__(self) -> int:
+        return len(self.x)
+
+
+class Detector:
+    def __init__(self, params: DetectorParams | None = None, f_cap: int = 64):
+        self.params = params or DetectorParams()
+        self.f_cap = f_cap
+        self._templates: dict[str, list[TemplateFeatures]] = {}
+        self._banks: dict[str, TemplateBank] = {}
+
+    # -- template management ------------------------------------------------
+
+    @property
+    def class_ids(self) -> list[str]:
+        return list(self._templates.keys())
+
+    def num_templates(self, class_id: str | None = None) -> int:
+        if class_id is not None:
+            return len(self._templates.get(class_id, []))
+        return sum(len(v) for v in self._templates.values())
+
+    def add_template(
+        self,
+        rgb: np.ndarray,
+        mask: np.ndarray,
+        class_id: str = "obj",
+        depth_mm: np.ndarray | None = None,
+    ) -> int:
+        """Extract and store a template; returns its id or -1 on failure
+        (the reference skips such views, renderer.cpp:308-315)."""
+        t = extract_template(rgb, depth_mm, mask, self.params)
+        if t is None:
+            return -1
+        self._templates.setdefault(class_id, []).append(t)
+        self._banks.pop(class_id, None)  # invalidate cached arrays
+        return len(self._templates[class_id]) - 1
+
+    def attach_bank(self, bank: TemplateBank) -> None:
+        self._templates[bank.class_id] = bank.templates
+        self._banks[bank.class_id] = bank
+
+    def bank(self, class_id: str) -> TemplateBank:
+        if class_id not in self._banks:
+            self._banks[class_id] = TemplateBank(
+                class_id, self.params, self._templates[class_id], f_cap=self.f_cap
+            )
+        return self._banks[class_id]
+
+    def template_rect0(self, class_id: str, template_id: int) -> tuple[int, int, int, int]:
+        return self._templates[class_id][template_id].rect0
+
+    # -- matching -----------------------------------------------------------
+
+    def match(
+        self,
+        rgb: np.ndarray,
+        threshold: float,
+        depth_mm: np.ndarray | None = None,
+        class_ids: list[str] | None = None,
+        top_k: int = 512,
+    ) -> dict[str, MatchResult]:
+        """Full pyramid match of every class over one frame.
+
+        Stage order per cv::linemod::Detector::match (SURVEY.md section 3.2
+        step 4): quantize -> spread -> response maps at both levels, coarse
+        T-strided scoring at the pyramid top, threshold + top-k, then
+        level-0 local refinement reporting the finest-level similarity.
+        """
+        p = self.params
+        use_depth = p.use_depth_normal and depth_mm is not None
+        pyr = M.preprocess_frame(
+            jnp.asarray(rgb),
+            jnp.asarray(depth_mm) if depth_mm is not None else None,
+            T0=p.t_pyramid[0],
+            T1=p.t_pyramid[1],
+            use_depth=use_depth,
+            weak_threshold=p.color.weak_threshold,
+        )
+        out: dict[str, MatchResult] = {}
+        for cid in class_ids or self.class_ids:
+            bank = self.bank(cid)
+            out[cid] = self._match_class(bank, pyr, threshold, top_k)
+        return out
+
+    def _match_class(
+        self, bank: TemplateBank, pyr: M.FramePyramid, threshold: float, top_k: int
+    ) -> MatchResult:
+        p = self.params
+        T1 = p.t_pyramid[1]
+        T0 = p.t_pyramid[0]
+
+        f1 = [bank.levels[1]["grad"]] if p.use_color_gradient else []
+        r1 = [pyr.grad_r1] if p.use_color_gradient else []
+        f0 = [bank.levels[0]["grad"]] if p.use_color_gradient else []
+        r0 = [pyr.grad_r0] if p.use_color_gradient else []
+        if p.use_depth_normal:
+            f1.append(bank.levels[1]["norm"])
+            r1.append(pyr.norm_r1)
+            f0.append(bank.levels[0]["norm"])
+            r0.append(pyr.norm_r0)
+
+        feats1, R1 = M.merge_modalities(f1, r1)
+        feats0, R0 = M.merge_modalities(f0, r0)
+
+        raw = M.coarse_scores(R1, feats1, T1, bank.max_cell_extent(1))
+        Hc, Wc = raw.shape[1:]
+        vpos = M.position_validity(feats1.size, T1, Hc, Wc)
+        # Coarse pass gate: slightly relaxed threshold (the reported score is
+        # the level-0 one; OpenCV also thresholds the coarse level directly).
+        cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
+        matches = M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
+
+        ok = np.asarray(matches.valid)
+        return MatchResult(
+            class_id=bank.class_id,
+            x=np.asarray(matches.x)[ok],
+            y=np.asarray(matches.y)[ok],
+            template_id=np.asarray(matches.template_id)[ok],
+            similarity=np.asarray(matches.similarity)[ok],
+        )
+
+    # -- serialization ------------------------------------------------------
+
+    def write(self, path: str, class_id: str | None = None) -> None:
+        cid = class_id or self.class_ids[0]
+        self.bank(cid).write_templates_yaml(path)
+
+    @classmethod
+    def read(cls, path: str, f_cap: int = 64) -> "Detector":
+        bank = TemplateBank.read_templates_yaml(path, f_cap=f_cap)
+        det = cls(bank.params, f_cap=f_cap)
+        det.attach_bank(bank)
+        return det

@@ -1,0 +1,495 @@
+"""Template extraction + the padded template-bank arrays fed to the matcher.
+
+Replaces cv::linemod's Modality::extractTemplate + Detector::addTemplate
+storage and the reference's two-file bank serialization (SURVEY.md C14, C15):
+
+- feature extraction (offline, host numpy + JAX quantizers): strongest
+  scattered gradient features above strong_threshold (OpenCV
+  ColorGradient::extractTemplate semantics: stable-sort by magnitude,
+  greedy scatter selection with shrinking min distance), and interior
+  surface-normal features ranked by distance-to-mask-border (OpenCV
+  DepthNormal::extractTemplate with extract_threshold).
+- two pyramid levels; features of both levels cropped to a common bbox
+  (cv::linemod cropTemplates): match.x/y refers to the bbox origin.
+- TemplateBank: stacked fixed-size arrays (LevelFeatures per level per
+  modality) + per-template pose metadata {R, T, K, D, Ori_dist, Rect}
+  matching the renderer_params.yml schema (renderer.cpp:72-123), plus
+  detector-config YAML mirroring cv::linemod::Detector::write/writeClass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import features as FO
+from ..ops.match import LevelFeatures
+from ..utils import opencv_yaml as oy
+
+
+@dataclass
+class ModalityParams:
+    weak_threshold: float = 10.0
+    num_features: int = 63
+    strong_threshold: float = 55.0
+    # DepthNormal:
+    distance_threshold: float = 2000.0
+    difference_threshold: float = 50.0
+    extract_threshold: int = 2
+
+
+@dataclass
+class DetectorParams:
+    t_pyramid: tuple[int, ...] = (5, 8)  # T at level 0, level 1 (ref renderer.cpp:182-185)
+    use_color_gradient: bool = True
+    use_depth_normal: bool = False
+    color: ModalityParams = field(default_factory=ModalityParams)
+    depth: ModalityParams = field(default_factory=ModalityParams)
+
+    @property
+    def pyramid_levels(self) -> int:
+        return len(self.t_pyramid)
+
+
+@dataclass
+class TemplateFeatures:
+    """One template: per-level, per-modality feature lists (numpy)."""
+
+    # lists over pyramid levels; each entry (F, 3) int32 rows (y, x, ori)
+    grad: list[np.ndarray]
+    norm: list[np.ndarray]
+    size: list[tuple[int, int]]  # (h, w) per level of the cropped bbox
+    rect0: tuple[int, int, int, int]  # level-0 (x, y, w, h) bbox in the source image
+
+
+def _select_scattered(candidates: np.ndarray, scores: np.ndarray, num: int) -> np.ndarray:
+    """OpenCV selectScatteredFeatures: iterate candidates in score order,
+    keep those >= `distance` from all kept; shrink distance until `num`
+    features are collected (or the pool is exhausted)."""
+    order = np.argsort(-scores, kind="stable")
+    cand = candidates[order]
+    if cand.shape[0] == 0:
+        return cand
+    distance = float(cand.shape[0] / num + 1)
+    while True:
+        kept: list[np.ndarray] = []
+        d2 = distance * distance
+        for c in cand:
+            ok = True
+            for k in kept:
+                dy = float(c[0] - k[0])
+                dx = float(c[1] - k[1])
+                if dy * dy + dx * dx < d2:
+                    ok = False
+                    break
+            if ok:
+                kept.append(c)
+                if len(kept) == num:
+                    return np.stack(kept)
+        distance -= 1.0
+        if distance < 1.0:
+            return np.stack(kept) if kept else cand[:0]
+
+
+def _bit_to_index(bitmask: np.ndarray) -> np.ndarray:
+    """uint8 one-hot bitmask -> bin index (valid only where nonzero)."""
+    return np.argmax((bitmask[..., None] >> np.arange(8)) & 1, axis=-1).astype(np.int32)
+
+
+def extract_gradient_features(
+    rgb: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int
+) -> np.ndarray | None:
+    """(y, x, ori) rows for one pyramid level, or None if too few features."""
+    quant, mag2 = FO.quantize_color_gradient(jnp.asarray(rgb), params.weak_threshold)
+    quant = np.asarray(quant)
+    mag2 = np.asarray(mag2)
+    strong2 = params.strong_threshold**2
+    sel = (quant != 0) & (mag2 > strong2) & (mask > 0)
+    ys, xs = np.nonzero(sel)
+    if ys.size < num // 2 or ys.size == 0:
+        return None
+    oris = _bit_to_index(quant[ys, xs])
+    cand = np.stack([ys, xs, oris], axis=1).astype(np.int32)
+    feats = _select_scattered(cand, mag2[ys, xs], num)
+    return feats if feats.shape[0] >= num // 2 else None
+
+
+def extract_normal_features(
+    depth_mm: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int
+) -> np.ndarray | None:
+    quant = np.asarray(
+        FO.quantize_depth_normal(
+            jnp.asarray(depth_mm.astype(np.float32)),
+            params.distance_threshold,
+            params.difference_threshold,
+        )
+    )
+    try:
+        from scipy.ndimage import distance_transform_edt
+
+        dist = distance_transform_edt(mask > 0)
+    except Exception:  # pragma: no cover
+        dist = (mask > 0).astype(np.float32)
+    sel = (quant != 0) & (dist > params.extract_threshold)
+    ys, xs = np.nonzero(sel)
+    if ys.size == 0:
+        return None
+    oris = _bit_to_index(quant[ys, xs])
+    cand = np.stack([ys, xs, oris], axis=1).astype(np.int32)
+    feats = _select_scattered(cand, dist[ys, xs], num)
+    return feats if feats.shape[0] >= num // 2 else None
+
+
+def _pyr_down_np(img: np.ndarray) -> np.ndarray:
+    return np.asarray(FO.pyr_down(jnp.asarray(img.astype(np.float32))))
+
+
+def extract_template(
+    rgb: np.ndarray,
+    depth_mm: np.ndarray | None,
+    mask: np.ndarray,
+    params: DetectorParams,
+) -> TemplateFeatures | None:
+    """Extract a multi-level template; None mimics addTemplate == -1
+    (too few features -> view skipped, ref renderer.cpp:308-315)."""
+    levels = params.pyramid_levels
+    grad_l: list[np.ndarray] = []
+    norm_l: list[np.ndarray] = []
+    cur_rgb = rgb.astype(np.float32)
+    cur_depth = depth_mm.astype(np.float32) if depth_mm is not None else None
+    cur_mask = (mask > 0).astype(np.uint8)
+    for l in range(levels):
+        if params.use_color_gradient:
+            g = extract_gradient_features(cur_rgb, cur_mask, params.color, params.color.num_features)
+            if g is None:
+                return None
+            grad_l.append(g)
+        if params.use_depth_normal:
+            if cur_depth is None:
+                return None
+            n = extract_normal_features(cur_depth, cur_mask, params.depth, params.depth.num_features)
+            if n is None:
+                return None
+            norm_l.append(n)
+        if l + 1 < levels:
+            cur_rgb = np.stack(
+                [_pyr_down_np(cur_rgb[..., c]) for c in range(cur_rgb.shape[-1])], axis=-1
+            )
+            if cur_depth is not None:
+                cur_depth = cur_depth[::2, ::2]
+            cur_mask = cur_mask[::2, ::2]
+
+    # Crop to common bbox in level-0 coords (cv::linemod cropTemplates).
+    all_xy0: list[np.ndarray] = []
+    for l in range(levels):
+        for fl in ([grad_l[l]] if params.use_color_gradient else []) + (
+            [norm_l[l]] if params.use_depth_normal else []
+        ):
+            all_xy0.append(fl[:, :2].astype(np.int64) << l)
+    cat = np.concatenate(all_xy0, axis=0)
+    y0, x0 = cat[:, 0].min(), cat[:, 1].min()
+    y1, x1 = cat[:, 0].max(), cat[:, 1].max()
+    sizes = []
+    for l in range(levels):
+        oy_, ox_ = int(y0) >> l, int(x0) >> l
+        if params.use_color_gradient:
+            grad_l[l] = grad_l[l] - np.array([oy_, ox_, 0], np.int32)
+        if params.use_depth_normal:
+            norm_l[l] = norm_l[l] - np.array([oy_, ox_, 0], np.int32)
+        sizes.append((int(y1 - y0) >> l, int(x1 - x0) >> l))
+    return TemplateFeatures(
+        grad=grad_l if params.use_color_gradient else [],
+        norm=norm_l if params.use_depth_normal else [],
+        size=sizes,
+        rect0=(int(x0), int(y0), int(x1 - x0 + 1), int(y1 - y0 + 1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bank arrays
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TemplateMetadata:
+    """Per-template pose metadata — renderer_params.yml schema
+    (writeLinemodTemplateParams, renderer.cpp:72-123)."""
+
+    R: np.ndarray  # (N, 3, 3) float64
+    T: np.ndarray  # (N, 3) float64
+    K: np.ndarray  # (N, 3, 3) float32
+    D: np.ndarray  # (N,) float64   (Ori_dist - center surface depth)
+    Ori_dist: np.ndarray  # (N,) float64
+    Rect: np.ndarray  # (N, 4) int32 — renderer mask bbox at level 0
+
+
+@dataclass
+class RendererGlobals:
+    n_points: int = 150
+    angle_step: int = 10
+    radius_min: float = 0.5
+    radius_max: float = 1.0
+    radius_step: float = 0.1
+    width: int = 640
+    height: int = 480
+    focal_length_x: float = 535.566011
+    focal_length_y: float = 537.168115
+    near: float = 0.1
+    far: float = 1000.0
+
+
+def stack_level_features(
+    templates: list[TemplateFeatures], level: int, modality: str, f_cap: int
+) -> LevelFeatures:
+    """Pad one (level, modality)'s features across the bank into arrays."""
+    N = len(templates)
+    offsets = np.zeros((N, f_cap, 2), np.int32)
+    oris = np.zeros((N, f_cap), np.int32)
+    count = np.zeros((N,), np.int32)
+    size = np.zeros((N, 2), np.int32)
+    for i, t in enumerate(templates):
+        fl = (t.grad if modality == "grad" else t.norm)[level]
+        n = min(fl.shape[0], f_cap)
+        offsets[i, :n] = fl[:n, :2]
+        oris[i, :n] = fl[:n, 2]
+        count[i] = n
+        size[i] = t.size[level]
+    live = np.arange(f_cap, dtype=np.int32)[None, :] < count[:, None]
+    return LevelFeatures(
+        offsets=jnp.asarray(offsets),
+        oris=jnp.asarray(oris),
+        live=jnp.asarray(live),
+        count=jnp.asarray(count),
+        size=jnp.asarray(size),
+    )
+
+
+class TemplateBank:
+    """A class's templates as device-ready arrays + host metadata."""
+
+    def __init__(
+        self,
+        class_id: str,
+        params: DetectorParams,
+        templates: list[TemplateFeatures],
+        metadata: TemplateMetadata | None = None,
+        globals_: RendererGlobals | None = None,
+        f_cap: int = 64,
+    ):
+        self.class_id = class_id
+        self.params = params
+        self.templates = templates
+        self.metadata = metadata
+        self.globals = globals_ or RendererGlobals()
+        self.f_cap = f_cap
+        self._build_arrays()
+
+    def _build_arrays(self) -> None:
+        p = self.params
+        self.levels: list[dict[str, LevelFeatures]] = []
+        for l in range(p.pyramid_levels):
+            d: dict[str, LevelFeatures] = {}
+            if p.use_color_gradient:
+                d["grad"] = stack_level_features(self.templates, l, "grad", self.f_cap)
+            if p.use_depth_normal:
+                d["norm"] = stack_level_features(self.templates, l, "norm", self.f_cap)
+            self.levels.append(d)
+        # Total features per template per level (for similarity normalization).
+        self.total_features = []
+        for l in range(p.pyramid_levels):
+            tot = jnp.zeros((len(self.templates),), jnp.int32)
+            for lf in self.levels[l].values():
+                tot = tot + lf.count
+            self.total_features.append(tot)
+
+    @property
+    def num_templates(self) -> int:
+        return len(self.templates)
+
+    def max_cell_extent(self, level: int) -> int:
+        """Max template extent in T-cells at `level` (static for jit)."""
+        T = self.params.t_pyramid[level]
+        sizes = np.asarray(
+            jnp.stack([lf.size for lf in self.levels[level].values()]).max(axis=0)
+        )
+        if sizes.size == 0:
+            return 1
+        return int(np.ceil(sizes.max() / T)) + 1
+
+    # -- serialization ------------------------------------------------------
+
+    def write_params_yaml(self, path: str) -> None:
+        """renderer_params.yml — byte-level schema of the reference
+        (writeLinemodTemplateParams, renderer.cpp:72-123)."""
+        if self.metadata is None:
+            raise ValueError("bank has no pose metadata")
+        m, g = self.metadata, self.globals
+        doc: dict = {}
+        for i in range(self.num_templates):
+            doc[f"Template {i}"] = {
+                "ID": i,
+                "R": oy.CvMatrix(m.R[i].astype(np.float64)),
+                "T": oy.CvMatrix(m.T[i].reshape(3, 1).astype(np.float64)),
+                "K": oy.CvMatrix(m.K[i].astype(np.float32)),
+                "D": float(m.D[i]),
+                "Ori_dist": float(m.Ori_dist[i]),
+                "Rect": [int(v) for v in m.Rect[i]],
+            }
+        doc["renderer_n_points"] = g.n_points
+        doc["renderer_angle_step"] = g.angle_step
+        doc["renderer_radius_min"] = g.radius_min
+        doc["renderer_radius_max"] = g.radius_max
+        doc["renderer_radius_step"] = g.radius_step
+        doc["renderer_width"] = g.width
+        doc["renderer_height"] = g.height
+        doc["renderer_focal_length_x"] = g.focal_length_x
+        doc["renderer_focal_length_y"] = g.focal_length_y
+        doc["renderer_near"] = g.near
+        doc["renderer_far"] = g.far
+        oy.dump(doc, path)
+
+    @staticmethod
+    def read_params_yaml(path: str) -> tuple[TemplateMetadata, RendererGlobals]:
+        """Parse a renderer_params.yml (ours or the reference's shipped
+        banks — readLinemodTemplateParams, rgbdDetector.cpp:1694-1749)."""
+        doc = oy.load(path)
+        n = 0
+        while f"Template {n}" in doc:
+            n += 1
+        R = np.zeros((n, 3, 3))
+        T = np.zeros((n, 3))
+        K = np.zeros((n, 3, 3), np.float32)
+        D = np.zeros((n,))
+        Od = np.zeros((n,))
+        Rect = np.zeros((n, 4), np.int32)
+        for i in range(n):
+            t = doc[f"Template {i}"]
+            R[i] = t["R"]
+            T[i] = np.asarray(t["T"]).ravel()
+            K[i] = t["K"]
+            D[i] = t["D"]
+            Od[i] = t["Ori_dist"]
+            Rect[i] = t["Rect"]
+        g = RendererGlobals(
+            n_points=int(doc.get("renderer_n_points", 150)),
+            angle_step=int(doc.get("renderer_angle_step", 10)),
+            radius_min=float(doc.get("renderer_radius_min", 0.5)),
+            radius_max=float(doc.get("renderer_radius_max", 1.0)),
+            radius_step=float(doc.get("renderer_radius_step", 0.1)),
+            width=int(doc.get("renderer_width", 640)),
+            height=int(doc.get("renderer_height", 480)),
+            focal_length_x=float(doc.get("renderer_focal_length_x", 535.566011)),
+            focal_length_y=float(doc.get("renderer_focal_length_y", 537.168115)),
+            near=float(doc.get("renderer_near", 0.1)),
+            far=float(doc.get("renderer_far", 1000.0)),
+        )
+        return TemplateMetadata(R=R, T=T, K=K, D=D, Ori_dist=Od, Rect=Rect), g
+
+    def write_templates_yaml(self, path: str) -> None:
+        """Detector+templates YAML mirroring cv::linemod::Detector::write +
+        writeClass (readLinemod/writeLinemod, rgbdDetector.cpp:1668-1692):
+        pyramid params, modality configs, per-template per-level feature
+        lists [y, x, orientation]."""
+        p = self.params
+        mods = []
+        if p.use_color_gradient:
+            mods.append(
+                {
+                    "type": "ColorGradient",
+                    "weak_threshold": p.color.weak_threshold,
+                    "num_features": p.color.num_features,
+                    "strong_threshold": p.color.strong_threshold,
+                }
+            )
+        if p.use_depth_normal:
+            mods.append(
+                {
+                    "type": "DepthNormal",
+                    "distance_threshold": p.depth.distance_threshold,
+                    "difference_threshold": p.depth.difference_threshold,
+                    "num_features": p.depth.num_features,
+                    "extract_threshold": p.depth.extract_threshold,
+                }
+            )
+        pyramids = []
+        for i, t in enumerate(self.templates):
+            tmpl_entries = []
+            for l in range(p.pyramid_levels):
+                mods_l = ([("ColorGradient", t.grad[l])] if p.use_color_gradient else []) + (
+                    [("DepthNormal", t.norm[l])] if p.use_depth_normal else []
+                )
+                for mname, fl in mods_l:
+                    tmpl_entries.append(
+                        {
+                            "width": int(t.size[l][1]),
+                            "height": int(t.size[l][0]),
+                            "pyramid_level": l,
+                            "modality": mname,
+                            "features": [[int(f[0]), int(f[1]), int(f[2])] for f in fl],
+                        }
+                    )
+            pyramids.append({"template_id": i, "templates": tmpl_entries})
+        doc = {
+            "pyramid_levels": p.pyramid_levels,
+            "modalities": mods,
+            "T": list(p.t_pyramid),
+            "classes": [
+                {
+                    "class_id": self.class_id,
+                    "pyramid_levels": p.pyramid_levels,
+                    "template_pyramids": pyramids,
+                }
+            ],
+        }
+        oy.dump(doc, path)
+
+    @staticmethod
+    def read_templates_yaml(path: str, f_cap: int = 64) -> "TemplateBank":
+        doc = oy.load(path)
+        mods = {m["type"]: m for m in doc["modalities"]}
+        cp = ModalityParams()
+        dp = ModalityParams()
+        if "ColorGradient" in mods:
+            m = mods["ColorGradient"]
+            cp.weak_threshold = float(m["weak_threshold"])
+            cp.num_features = int(m["num_features"])
+            cp.strong_threshold = float(m["strong_threshold"])
+        if "DepthNormal" in mods:
+            m = mods["DepthNormal"]
+            dp.distance_threshold = float(m["distance_threshold"])
+            dp.difference_threshold = float(m["difference_threshold"])
+            dp.num_features = int(m["num_features"])
+            dp.extract_threshold = int(m["extract_threshold"])
+        params = DetectorParams(
+            t_pyramid=tuple(doc["T"]),
+            use_color_gradient="ColorGradient" in mods,
+            use_depth_normal="DepthNormal" in mods,
+            color=cp,
+            depth=dp,
+        )
+        cls = doc["classes"][0]
+        templates: list[TemplateFeatures] = []
+        for pyr in cls["template_pyramids"]:
+            grad: list[np.ndarray] = [None] * params.pyramid_levels  # type: ignore
+            norm: list[np.ndarray] = [None] * params.pyramid_levels  # type: ignore
+            size = [(0, 0)] * params.pyramid_levels
+            for e in pyr["templates"]:
+                l = int(e["pyramid_level"])
+                fl = np.array(e["features"], np.int32).reshape(-1, 3)
+                size[l] = (int(e["height"]), int(e["width"]))
+                if e["modality"] == "ColorGradient":
+                    grad[l] = fl
+                else:
+                    norm[l] = fl
+            templates.append(
+                TemplateFeatures(
+                    grad=[g for g in grad if g is not None] if params.use_color_gradient else [],
+                    norm=[n for n in norm if n is not None] if params.use_depth_normal else [],
+                    size=size,
+                    rect0=(0, 0, size[0][1], size[0][0]),
+                )
+            )
+        return TemplateBank(cls["class_id"], params, templates, f_cap=f_cap)

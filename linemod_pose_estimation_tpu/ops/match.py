@@ -5,7 +5,7 @@ Where OpenCV walks linearized memories with SSE u8 adds per template, we
 batch the whole template bank into one device computation per frame:
 
   coarse level (pyramid top, stride T):
-     response maps -> "linearized planes" L[8*T*T, Hc, Wc]
+     response maps -> "linearized planes" L[C*T*T, Hc, Wc]
      (channel = orientation x subcell offset, spatial = T-strided cells);
      each feature (ori, dy, dx) is one shifted plane-slice; scores for all
      templates x all window positions accumulate over a `lax.scan` of the
@@ -17,8 +17,12 @@ batch the whole template bank into one device computation per frame:
      (OpenCV's similarityLocal), giving the final sub-stride position and
      the reported similarity.
 
-similarity(%) = 100 * raw / (4 * num_features), summed across modalities
-before normalizing — identical to cv::linemod::Detector::match scoring.
+Modalities (ColorGradient + DepthNormal) are fused before scoring: their
+response maps concatenate channel-wise (C = 8 * num_modalities) and their
+feature lists merge with globally-offset orientation indices, so one scan
+scores both — similarity(%) = 100 * raw / (4 * total_features), identical
+to cv::linemod::Detector::match which sums similarities across modalities
+before normalizing.
 
 The template axis is the sharding axis for multi-chip operation
 (parallel/sharded_match.py): each device scores its shard of the bank and
@@ -28,7 +32,7 @@ top-k results merge over ICI.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,43 +44,67 @@ class LevelFeatures(NamedTuple):
     """Padded per-level feature set for a bank of N templates.
 
     offsets: (N, Fmax, 2) int32 — (dy, dx) pixel offsets inside the template
-    oris:    (N, Fmax)    int32 — orientation bin 0..7
-    count:   (N,)         int32 — number of valid features (rest padded)
+    oris:    (N, Fmax)    int32 — orientation channel (globally indexed when
+                                   modalities are merged: mod*8 + bin)
+    live:    (N, Fmax)    bool  — which slots hold real features
+    count:   (N,)         int32 — total live features (for normalization)
     size:    (N, 2)       int32 — template (h, w) at this level
     """
 
     offsets: jnp.ndarray
     oris: jnp.ndarray
+    live: jnp.ndarray
     count: jnp.ndarray
     size: jnp.ndarray
 
 
-def linearize_responses(R: jnp.ndarray, T: int, max_cell_extent: int) -> jnp.ndarray:
-    """(8, H, W) response maps -> (8*T*T, Hc + Kc, Wc + Kc) planes.
+def merge_modalities(
+    feats: Sequence[LevelFeatures], response_maps: Sequence[jnp.ndarray]
+) -> tuple[LevelFeatures, jnp.ndarray]:
+    """Concatenate modalities into one feature set + one response stack.
 
-    L[o*T*T + ry*T + rx, i, j] = R[o, i*T + ry, j*T + rx]; bottom/right
+    Each modality m's orientation indices shift by 8*m to address its slice
+    of the channel-concatenated response maps.
+    """
+    assert len(feats) == len(response_maps) >= 1
+    if len(feats) == 1:
+        return feats[0], response_maps[0]
+    offs = jnp.concatenate([f.offsets for f in feats], axis=1)
+    oris = jnp.concatenate(
+        [f.oris + 8 * m for m, f in enumerate(feats)], axis=1
+    )
+    live = jnp.concatenate([f.live for f in feats], axis=1)
+    count = sum(f.count for f in feats)
+    size = jnp.max(jnp.stack([f.size for f in feats]), axis=0)
+    R = jnp.concatenate(list(response_maps), axis=0)
+    return LevelFeatures(offs, oris, live, count, size), R
+
+
+def linearize_responses(R: jnp.ndarray, T: int, max_cell_extent: int) -> jnp.ndarray:
+    """(C, H, W) response maps -> (C*T*T, Hc + Kc, Wc + Kc) planes.
+
+    L[c*T*T + ry*T + rx, i, j] = R[c, i*T + ry, j*T + rx]; bottom/right
     zero-padded by Kc cells so any feature cell-shift reads in-bounds.
     """
-    _, H, W = R.shape
+    C, H, W = R.shape
     Hc, Wc = H // T, W // T
     Kc = max_cell_extent
-    Rc = R[:, : Hc * T, : Wc * T].reshape(8, Hc, T, Wc, T)
-    L = Rc.transpose(0, 2, 4, 1, 3).reshape(8 * T * T, Hc, Wc)
+    Rc = R[:, : Hc * T, : Wc * T].reshape(C, Hc, T, Wc, T)
+    L = Rc.transpose(0, 2, 4, 1, 3).reshape(C * T * T, Hc, Wc)
     return jnp.pad(L, [(0, 0), (0, Kc), (0, Kc)])
 
 
-@partial(jax.jit, static_argnames=("T", "max_cell_extent", "feature_chunk"))
+@partial(jax.jit, static_argnames=("T", "max_cell_extent"))
 def coarse_scores(
     R: jnp.ndarray,
     feats: LevelFeatures,
     T: int,
     max_cell_extent: int,
-    feature_chunk: int = 1,
 ) -> jnp.ndarray:
     """Raw scores (N, Hc, Wc) int32 of every template at every T-strided
-    window position of one response-map set."""
+    window position."""
     L = linearize_responses(R, T, max_cell_extent)
-    _, H, W = R.shape
+    C, H, W = R.shape
     Hc, Wc = H // T, W // T
     N, Fmax = feats.oris.shape
 
@@ -86,16 +114,13 @@ def coarse_scores(
     qy = dy // T
     qx = dx // T
 
-    slot = jnp.arange(Fmax, dtype=jnp.int32)
-    live = slot[None, :] < feats.count[:, None]  # (N, Fmax)
-
     def slice_one(c, y, x):
         return jax.lax.dynamic_slice(L, (c, y, x), (1, Hc, Wc))[0]
 
     def body(acc, fidx):
         vals = jax.vmap(
             lambda c, y, x, m: jnp.where(m, slice_one(c, y, x).astype(jnp.int32), 0)
-        )(chan[:, fidx], qy[:, fidx], qx[:, fidx], live[:, fidx])
+        )(chan[:, fidx], qy[:, fidx], qx[:, fidx], feats.live[:, fidx])
         return acc + vals, None
 
     acc0 = jnp.zeros((N, Hc, Wc), jnp.int32)
@@ -103,9 +128,7 @@ def coarse_scores(
     return acc
 
 
-def position_validity(
-    size: jnp.ndarray, T: int, Hc: int, Wc: int
-) -> jnp.ndarray:
+def position_validity(size: jnp.ndarray, T: int, Hc: int, Wc: int) -> jnp.ndarray:
     """(N, Hc, Wc) bool — window position (i, j) keeps the template in-bounds."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 1)
@@ -135,7 +158,7 @@ def select_candidates(
     sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(total_features, 1)[:, None, None])
     sim = jnp.where(valid_pos, sim, -1.0)
     flat = sim.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, top_k)
+    vals, idx = jax.lax.top_k(flat, min(top_k, flat.shape[0]))
     t = idx // (Hc * Wc)
     rem = idx % (Hc * Wc)
     cy = rem // Wc
@@ -154,25 +177,31 @@ class Matches(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
-@partial(jax.jit, static_argnames=("window",))
+@partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T"))
 def refine_candidates(
     R0: jnp.ndarray,
     feats0: LevelFeatures,
     cand: CoarseMatches,
     coarse_T: int,
     threshold: float,
-    window: int = 16,
+    fine_T: int = 5,
+    window: int = 24,
 ) -> Matches:
     """Evaluate level-0 features over a `window`x`window` stride-1 region
     around each coarse candidate; keep the best offset (OpenCV
-    similarityLocal + candidate update)."""
+    similarityLocal + candidate update).
+
+    Window coverage: a coarse cell at grid index i covers true level-0
+    positions [i*2T .. i*2T + 2(T-1)+1] (forward, because spreading covers
+    forward offsets), plus the level-0 plateau extends back by fine_T-1 —
+    so anchor at i*2T - (fine_T - 1) with window >= 2*coarse_T + fine_T.
+    """
     _, H, W = R0.shape
     K = cand.template_id.shape[0]
     Fmax = feats0.oris.shape[1]
 
-    # Coarse cell -> full-resolution anchor (2x upsample of the pyramid).
-    anchor_y = cand.cell_y * coarse_T * 2 + 1 - window // 2
-    anchor_x = cand.cell_x * coarse_T * 2 + 1 - window // 2
+    anchor_y = cand.cell_y * coarse_T * 2 - (fine_T - 1)
+    anchor_x = cand.cell_x * coarse_T * 2 - (fine_T - 1)
     anchor_y = jnp.clip(anchor_y, 0, H - 1)
     anchor_x = jnp.clip(anchor_x, 0, W - 1)
 
@@ -180,7 +209,7 @@ def refine_candidates(
     offs = feats0.offsets[t]  # (K, Fmax, 2)
     oris = feats0.oris[t]  # (K, Fmax)
     cnt = feats0.count[t]
-    live = jnp.arange(Fmax, dtype=jnp.int32)[None, :] < cnt[:, None]
+    live = feats0.live[t]
 
     wy = jnp.arange(window, dtype=jnp.int32)
     wx = jnp.arange(window, dtype=jnp.int32)
@@ -196,7 +225,11 @@ def refine_candidates(
     scores = jnp.sum(vals, axis=1)  # (K, window, window)
 
     flat = scores.reshape(K, -1)
-    best = jnp.argmax(flat, axis=1)
+    # Orientation spreading covers forward offsets only, so equal-score
+    # plateaus extend up to T-1 px toward the top-left of the true position;
+    # take the LAST maximum (bottom-right plateau corner) to recover it.
+    rev = flat[:, ::-1]
+    best = flat.shape[1] - 1 - jnp.argmax(rev, axis=1)
     raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
     by = best // window
     bx = best % window
@@ -217,12 +250,12 @@ def refine_candidates(
 
 
 class FramePyramid(NamedTuple):
-    """Response maps per level per modality; None-like empty arrays unused."""
+    """Response maps per level per modality (zeros when depth unused)."""
 
     grad_r0: jnp.ndarray  # (8, H, W) u8
     grad_r1: jnp.ndarray  # (8, H/2, W/2) u8
-    norm_r0: jnp.ndarray | None
-    norm_r1: jnp.ndarray | None
+    norm_r0: jnp.ndarray
+    norm_r1: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("T0", "T1", "use_depth", "weak_threshold"))

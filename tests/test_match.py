@@ -1,0 +1,107 @@
+"""Planted-template tests for the matching engine (SURVEY.md section 4:
+'render a template into an empty frame -> expect score 100 at the planted
+location')."""
+
+import numpy as np
+import pytest
+
+from linemod_pose_estimation_tpu.models.detector import Detector
+from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+
+def make_object_patch(rng, size=48):
+    """A textured disk with strong internal gradients on black background."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    c = size / 2.0
+    disk = (yy - c) ** 2 + (xx - c) ** 2 < (c - 2) ** 2
+    tex = ((yy // 6 + xx // 6) % 2) * 180 + 40  # checkerboard
+    tex2 = ((yy + 2 * xx) % 13 < 6) * 60
+    img = np.zeros((size, size, 3), np.uint8)
+    for ch, w in enumerate([1.0, 0.8, 0.6]):
+        img[..., ch] = np.where(disk, np.clip(tex * w + tex2, 0, 255), 0).astype(np.uint8)
+    return img, (disk * 255).astype(np.uint8)
+
+
+def plant(frame_shape, patch, pos_yx):
+    frame = np.zeros(frame_shape, np.uint8)
+    y, x = pos_yx
+    frame[y : y + patch.shape[0], x : x + patch.shape[1]] = patch
+    return frame
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(7)
+    patch, mask = make_object_patch(rng)
+    src = plant((120, 160, 3), patch, (36, 56))
+    src_mask = plant((120, 160), mask, (36, 56))
+    det = Detector(DetectorParams())
+    tid = det.add_template(src, src_mask, "obj")
+    assert tid == 0
+    return det, patch, (36, 56)
+
+
+def best_position(res):
+    """Highest-similarity match; among the equal-score spreading plateau
+    (forward spread covers [0, T)), the bottom-right corner is the true
+    position — pick max (x + y) among near-max-score matches."""
+    top = res.similarity.max()
+    sel = res.similarity >= top - 0.5
+    idx = np.nonzero(sel)[0]
+    return idx[np.argmax(res.x[sel] + res.y[sel])]
+
+
+def test_self_match_scores_100(trained):
+    det, patch, (py, px) = trained
+    src = plant((120, 160, 3), patch, (py, px))
+    res = det.match(src, threshold=90.0)["obj"]
+    assert len(res) >= 1
+    best = best_position(res)
+    assert res.similarity[best] >= 99.0
+    # Match position = template bbox origin in the source image.
+    x0, y0, _, _ = det.template_rect0("obj", 0)
+    assert abs(int(res.x[best]) - x0) <= 1
+    assert abs(int(res.y[best]) - y0) <= 1
+
+
+def test_shifted_plant_found_within_1px(trained):
+    det, patch, (py, px) = trained
+    x0, y0, _, _ = det.template_rect0("obj", 0)
+    dy, dx = 13, -9  # arbitrary odd shifts
+    frame = plant((120, 160, 3), patch, (py + dy, px + dx))
+    res = det.match(frame, threshold=90.0)["obj"]
+    assert len(res) >= 1
+    best = best_position(res)
+    assert res.similarity[best] >= 97.0
+    assert abs(int(res.x[best]) - (x0 + dx)) <= 1
+    assert abs(int(res.y[best]) - (y0 + dy)) <= 1
+
+
+def test_empty_frame_no_match(trained):
+    det, _, _ = trained
+    frame = np.zeros((120, 160, 3), np.uint8)
+    res = det.match(frame, threshold=80.0)["obj"]
+    assert len(res) == 0
+
+
+def test_unrelated_texture_no_high_match(trained):
+    det, _, _ = trained
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    res = det.match(frame, threshold=95.0)["obj"]
+    # Random noise should not reach near-perfect similarity.
+    assert len(res) == 0 or res.similarity.max() < 99.0
+
+
+def test_bank_yaml_roundtrip(tmp_path, trained):
+    det, patch, (py, px) = trained
+    p = str(tmp_path / "templates.yml")
+    det.write(p)
+    det2 = Detector.read(p)
+    assert det2.num_templates("obj") == 1
+    frame = plant((120, 160, 3), patch, (py, px))
+    r1 = det.match(frame, threshold=90.0)["obj"]
+    r2 = det2.match(frame, threshold=90.0)["obj"]
+    b1, b2 = np.argmax(r1.similarity), np.argmax(r2.similarity)
+    assert r1.x[b1] == r2.x[b2] and r1.y[b1] == r2.y[b2]
+    np.testing.assert_allclose(r1.similarity[b1], r2.similarity[b2], atol=1e-4)
