@@ -1,0 +1,72 @@
+"""Benchmark: RGB frames/sec/chip for full-pyramid LINEMOD matching at
+640x480 over a large template bank (the BASELINE.json headline metric).
+
+Runs on whatever JAX backend is live (the driver provides one real TPU
+chip).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is measured fps / 1000 — the BASELINE.md north-star target
+(>= 1000 RGB-D fps/chip @ 640x480 over a 10k-template bank on v5e-1); the
+reference itself publishes no numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_bank_arrays
+    from linemod_pose_estimation_tpu.ops import match as M
+
+    n_templates = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    T0, T1 = 5, 8
+    feats1 = _synthetic_bank_arrays(n_templates, fmax=63, extent=48, seed=0)
+    feats0 = _synthetic_bank_arrays(n_templates, fmax=63, extent=96, seed=1)
+    ext1 = 48 // T1 + 1
+
+    @jax.jit
+    def match_frame(rgb):
+        pyr = M.preprocess_frame(rgb, None, T0=T0, T1=T1, use_depth=False)
+        raw = M.coarse_scores(pyr.grad_r1, feats1, T1, ext1)
+        Hc, Wc = raw.shape[1:]
+        vpos = M.position_validity(feats1.size, T1, Hc, Wc)
+        cand = M.select_candidates(raw, feats1.count, vpos, 80.0, 256)
+        out = M.refine_candidates(pyr.grad_r0, feats0, cand, T1, 85.0, fine_T=T0)
+        return out.similarity
+
+    rng = np.random.default_rng(42)
+    rgb = jnp.asarray(rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8))
+
+    # Compile + warm up.
+    match_frame(rgb).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = match_frame(rgb)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"linemod_match_fps_640x480_{n_templates}templates",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

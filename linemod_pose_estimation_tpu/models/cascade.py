@@ -1,0 +1,446 @@
+"""The post-match detection cascade, fixed-capacity JAX end to end.
+
+Re-creates the reference's `detect_cb` stage order (SURVEY.md section 3.2,
+service.cpp:274-599) as static-shape device stages:
+
+  matches ──rcd_voting (C2)──► vote cells (y/step, x/step, depth-bin)
+          ──cluster_filter (C3, drop <= thresh)
+          ──cluster_scoring (C4, mean similarity)
+          ──nonMaximaSuppressionUsingIOU (C7, averaged bboxes, IoU > 0.4)
+          ──getRoughPoseByClustering (C8): greedy orientation clustering,
+             quaternion/translation averaging, re-render at the averaged
+             pose, model/scene cloud extraction, SOR + voxel filters,
+             surface-centroid position pairing (C9 active strategy)
+          ──icpPoseRefine (C10, coarse+fine)
+          ──hypothesisVerification (C11, voxel occupancy)
+          ──pose canonicalization (C22)
+
+Variable-size sets (vote cells, cluster members, clouds) are capacity-padded
+with validity masks so the whole cascade jits and vmaps; sort+segment ops
+replace the reference's std::map grouping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.icp import icp_two_stage
+from ..ops.match import Matches
+from ..utils import geometry as geo
+from ..utils import pointcloud as pcu
+from .renderer import render as render_fn
+
+
+@dataclass
+class CascadeParams:
+    """Knobs of the reference cascade: argv/launch layer (SURVEY.md section 5
+    config) + hard-coded ctor constants."""
+
+    clustering_step: int = 20  # vote_row_col_step (launch default)
+    cluster_filter_thresh: int = 2  # drop cells with <= thresh matches (service.cpp:401)
+    iou_threshold: float = 0.4  # rgbdDetector.cpp:512
+    orientation_clustering_th: float = 10.0  # degrees (launch default)
+    # ICP (launch args 5-8 + hard-coded fine pass, rgbdDetector.cpp:1349-1366)
+    icp_max_iter: int = 150
+    icp_max_corr_dist: float = 0.05
+    icp_tr_epsilon: float = 1e-5
+    icp_ransac_thresh: float = 0.02
+    icp_fine_iter: int = 20
+    icp_fine_corr_dist: float = 0.01
+    icp_fine_ransac: float = 0.01
+    # Cloud conditioning (hard-coded, rgbdDetector.cpp:842-850)
+    sor_mean_k: int = 50
+    sor_std_mul: float = 1.0
+    voxel_leaf: float = 0.002
+    # Hypothesis verification (carmine:895-909)
+    hv_resolution: float = 0.004
+    hv_threshold: float = 0.30
+    enable_hv: bool = False
+    # Pose canonicalization: "x_front" (service.cpp:562-583),
+    # "z_down" (carmine:487-495) or "none"
+    canonicalize: str = "x_front"
+    # Ensenso geometry (service.cpp:212, 324-326)
+    bias_x: int = 0
+    # Static capacities
+    max_matches: int = 512
+    max_cells: int = 64
+    members_cap: int = 64
+    max_seeds: int = 16
+    max_clusters: int = 4
+    model_cap: int = 1024
+    scene_cap: int = 1024
+
+
+class ClusterSet(NamedTuple):
+    """Vote cells after grouping (analog of map<vector<int>, vector<Match>>)."""
+
+    score: jnp.ndarray  # (C,) mean similarity
+    count: jnp.ndarray  # (C,)
+    bbox: jnp.ndarray  # (C, 4) float32 averaged (x, y, w, h)
+    valid: jnp.ndarray  # (C,)
+    member_idx: jnp.ndarray  # (C, M) indices into the match arrays
+    member_valid: jnp.ndarray  # (C, M)
+
+
+@partial(jax.jit, static_argnames=("step", "max_cells", "members_cap", "filter_thresh"))
+def cluster_matches(
+    matches: Matches,
+    ori_dists: jnp.ndarray,
+    rects: jnp.ndarray,
+    radius_min: float,
+    radius_step: float,
+    step: int,
+    filter_thresh: int,
+    max_cells: int,
+    members_cap: int,
+) -> ClusterSet:
+    """C2 rcd_voting + C3 cluster_filter + C4 cluster_scoring + the averaged
+    bbox of C7 — grouping by (y/step, x/step, depth-bin) via sort+segments."""
+    K = matches.template_id.shape[0]
+    depth = ori_dists[matches.template_id]
+    d_idx = jnp.floor((depth - radius_min) / radius_step).astype(jnp.int32)
+    hy = matches.y // step
+    hx = matches.x // step
+    # Pack the 3-D vote index into one int32 id (d_idx small, hy/hx < 2^10).
+    cell = ((hy & 1023) << 20) | ((hx & 1023) << 10) | ((d_idx + 32) & 1023)
+    BIG = jnp.int32(2**31 - 1)
+    cell = jnp.where(matches.valid, cell, BIG)
+
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    valid_s = matches.valid[order]
+    is_head = jnp.concatenate([jnp.array([True]), cell_s[1:] != cell_s[:-1]])
+    seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # (K,) segment per sorted match
+
+    ones = valid_s.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=K)
+    starts = jax.ops.segment_min(jnp.arange(K, dtype=jnp.int32), seg, num_segments=K)
+    sim_s = matches.similarity[order]
+    x_s = matches.x[order].astype(jnp.float32)
+    y_s = matches.y[order].astype(jnp.float32)
+    wh = rects[matches.template_id][:, 2:4].astype(jnp.float32)[order]
+    ssum = jax.ops.segment_sum(jnp.where(valid_s, sim_s, 0.0), seg, num_segments=K)
+    xsum = jax.ops.segment_sum(jnp.where(valid_s, x_s, 0.0), seg, num_segments=K)
+    ysum = jax.ops.segment_sum(jnp.where(valid_s, y_s, 0.0), seg, num_segments=K)
+    wsum = jax.ops.segment_sum(jnp.where(valid_s, wh[:, 0], 0.0), seg, num_segments=K)
+    hsum = jax.ops.segment_sum(jnp.where(valid_s, wh[:, 1], 0.0), seg, num_segments=K)
+
+    c = jnp.maximum(cnt, 1.0)
+    score = ssum / c
+    bx = xsum / c
+    by = ysum / c
+    bw = wsum / c
+    bh = hsum / c
+    # Integer division like the reference's accumulating ints (C7).
+    bbox = jnp.stack([jnp.floor(bx), jnp.floor(by), jnp.floor(bw), jnp.floor(bh)], axis=1)
+
+    seg_valid = cnt > filter_thresh  # cluster_filter: erase size() <= thresh
+
+    # Rank segments by count so the capacity keeps the biggest cells.
+    rank = jnp.argsort(jnp.where(seg_valid, -cnt, 1e9))[:max_cells]
+    sel_valid = seg_valid[rank]
+
+    # Member lists: positions of each segment's sorted matches.
+    mslots = jnp.arange(members_cap, dtype=jnp.int32)
+    pos = starts[rank][:, None] + mslots[None, :]
+    pos_c = jnp.clip(pos, 0, K - 1)
+    member_valid = (
+        sel_valid[:, None]
+        & (mslots[None, :] < cnt[rank][:, None])
+        & valid_s[pos_c]
+    )
+    member_idx = order[pos_c]
+
+    return ClusterSet(
+        score=jnp.where(sel_valid, score[rank], -1.0),
+        count=cnt[rank].astype(jnp.int32),
+        bbox=bbox[rank],
+        valid=sel_valid,
+        member_idx=member_idx,
+        member_valid=member_valid,
+    )
+
+
+@jax.jit
+def nms_iou(clusters: ClusterSet, iou_threshold: float) -> jnp.ndarray:
+    """C7 greedy NMS on averaged bboxes, exact computeIoU semantics
+    (inclusive pixel extents, rgbdDetector.cpp:533-574).  Returns keep mask."""
+    C = clusters.score.shape[0]
+    x, y, w, h = (clusters.bbox[:, i] for i in range(4))
+    x2 = x + w - 1.0
+    y2 = y + h - 1.0
+
+    ix1 = jnp.maximum(x[:, None], x[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy1 = jnp.maximum(y[:, None], y[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    iw = jnp.maximum(ix2 - ix1 + 1.0, 0.0)
+    ih = jnp.maximum(iy2 - iy1 + 1.0, 0.0)
+    inter = iw * ih
+    union = (w * h)[:, None] + (w * h)[None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+
+    # Greedy: walk clusters by descending score; each still-alive cluster
+    # suppresses strictly lower-ranked overlaps (rgbdDetector.cpp:497-518).
+    order = jnp.argsort(-jnp.where(clusters.valid, clusters.score, -jnp.inf))
+    rank_of = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
+    keep0 = clusters.valid
+
+    def body(keep, i):
+        idx = order[i]
+        alive = keep[idx]
+        sup = alive & (iou[idx] > iou_threshold) & (rank_of > i)
+        return jnp.where(sup, False, keep), None
+
+    keep, _ = jax.lax.scan(body, keep0, jnp.arange(C))
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Rough pose + refinement per cluster
+# ---------------------------------------------------------------------------
+
+
+class ClusterPose(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) object pose in camera frame
+    rect: jnp.ndarray  # (4,) int32 (x=avg match x, y=avg match y, w, h)
+    score: jnp.ndarray  # cluster score
+    icp_fitness: jnp.ndarray
+    hv_rate: jnp.ndarray
+    valid: jnp.ndarray  # bool
+
+
+def _orientation_cluster_average(
+    quats: jnp.ndarray,  # (M, 4) member template orientations
+    Ts: jnp.ndarray,  # (M, 3)
+    Ds: jnp.ndarray,  # (M,)
+    Ods: jnp.ndarray,  # (M,)
+    xs: jnp.ndarray,  # (M,)
+    ys: jnp.ndarray,  # (M,)
+    mvalid: jnp.ndarray,  # (M,)
+    th_deg: float,
+    max_seeds: int,
+):
+    """C8 front half: greedy-cluster member rotations against cluster seeds
+    (compare to the seed = first member, rgbdDetector.cpp:604-631), then
+    average the LARGEST cluster's quats/translations/distances/positions."""
+    M = quats.shape[0]
+    S = max_seeds
+    cos_half_th = jnp.cos(jnp.radians(th_deg) / 2.0)
+
+    def body(state, j):
+        (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy) = state
+        q = quats[j]
+        dot = jnp.abs(jnp.sum(seed_q * q[None, :], axis=1))
+        within = seed_on & (dot > cos_half_th)
+        has = jnp.any(within)
+        first = jnp.argmax(within)
+        new_slot = jnp.sum(seed_on.astype(jnp.int32))
+        slot = jnp.where(has, first, jnp.minimum(new_slot, S - 1))
+        can_add = (~has) & (new_slot < S)
+        do = mvalid[j] & (has | can_add)
+
+        onehot = (jnp.arange(S) == slot) & do
+        # Hemisphere-align member quat to its seed before accumulating.
+        sgn = jnp.where(jnp.sum(seed_q[slot] * q) < 0, -1.0, 1.0)
+        q_aligned = jnp.where(has, sgn * q, q)
+
+        seed_q = jnp.where((onehot & ~has)[:, None], q[None, :], seed_q)
+        seed_on = seed_on | (onehot & ~has)
+        cnt = cnt + onehot.astype(jnp.int32)
+        sq = sq + onehot[:, None] * q_aligned[None, :]
+        sT = sT + onehot[:, None] * Ts[j][None, :]
+        sD = sD + onehot * Ds[j]
+        sOd = sOd + onehot * Ods[j]
+        sx = sx + onehot * xs[j]
+        sy = sy + onehot * ys[j]
+        return (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy), None
+
+    init = (
+        jnp.zeros((S, 4)),
+        jnp.zeros((S,), bool),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S, 4)),
+        jnp.zeros((S, 3)),
+        jnp.zeros((S,)),
+        jnp.zeros((S,)),
+        jnp.zeros((S,)),
+        jnp.zeros((S,)),
+    )
+    (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy), _ = jax.lax.scan(
+        body, init, jnp.arange(M)
+    )
+    best = jnp.argmax(cnt)
+    c = jnp.maximum(cnt[best], 1).astype(jnp.float32)
+    q_avg = sq[best] / c
+    qn = jnp.linalg.norm(q_avg)
+    q_avg = jnp.where(qn > 1e-9, q_avg / jnp.maximum(qn, 1e-9), jnp.array([1.0, 0, 0, 0]))
+    return (
+        q_avg,
+        sT[best] / c,
+        sD[best] / c,
+        sOd[best] / c,
+        jnp.floor(sx[best] / c).astype(jnp.int32),
+        jnp.floor(sy[best] / c).astype(jnp.int32),
+        cnt[best],
+    )
+
+
+def _transplanted_scene_mask(
+    mask: jnp.ndarray, rect: jnp.ndarray, X: jnp.ndarray, Y: jnp.ndarray, H: int, W: int
+) -> jnp.ndarray:
+    """Place the rendered mask (cropped at its bbox `rect`) at detected
+    position (X, Y) — getPointCloudIndices mask overload semantics
+    (rgbdDetector.cpp:1457-1487 region mapping via it->rect)."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    sy = yy - Y + rect[1]
+    sx = xx - X + rect[0]
+    inb = (yy >= Y) & (yy < Y + rect[3]) & (xx >= X) & (xx < X + rect[2])
+    sy = jnp.clip(sy, 0, H - 1)
+    sx = jnp.clip(sx, 0, W - 1)
+    return inb & (mask[sy, sx] > 0)
+
+
+def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int):
+    order = jnp.argsort(~sel_flat, stable=True)[:cap]
+    valid = sel_flat[order]
+    pts = jnp.where(valid[:, None], pts_flat[order], pcu.SENTINEL)
+    return pts.astype(jnp.float32), valid
+
+
+def rough_pose_and_refine(
+    member_quats: jnp.ndarray,
+    member_T: jnp.ndarray,
+    member_D: jnp.ndarray,
+    member_Od: jnp.ndarray,
+    member_x: jnp.ndarray,
+    member_y: jnp.ndarray,
+    member_valid: jnp.ndarray,
+    cluster_valid: jnp.ndarray,
+    cluster_score: jnp.ndarray,
+    cloud: jnp.ndarray,  # (H, W, 3) organized scene cloud (meters)
+    triangles: jnp.ndarray,
+    K_render: jnp.ndarray,
+    params: CascadeParams,
+    render_wh: tuple[int, int],
+) -> ClusterPose:
+    """C8 + C9(surface centroid) + C10 + C11 for ONE cluster (vmap over
+    clusters at the call site)."""
+    H, W = cloud.shape[:2]
+    rw, rh = render_wh
+
+    q_avg, T_aver, D_aver, Trans_aver, X, Y, _ = _orientation_cluster_average(
+        member_quats, member_T, member_D, member_Od, member_x, member_y,
+        member_valid, params.orientation_clustering_th, params.max_seeds,
+    )
+    R_avg = geo.quat_to_matrix(q_avg)
+
+    # Re-render at the averaged pose (renderDepthOnly/renderImageOnly at
+    # -T_match with up = -row1(R), rgbdDetector.cpp:712-721).
+    out = render_fn(triangles, R_avg.astype(jnp.float32), T_aver.astype(jnp.float32),
+                    K_render, rw, rh)
+    depth_m = out.depth_mm / 1000.0
+
+    # Model cloud: depthTo3d of the rendered view, masked (cpp:795-812).
+    mcloud = pcu.depth_to_cloud(depth_m, K_render)
+    msel = (out.mask > 0) & jnp.all(jnp.isfinite(mcloud), axis=-1)
+    model_pts, model_valid = _compact_points(
+        mcloud.reshape(-1, 3), msel.reshape(-1), params.model_cap
+    )
+
+    # Scene cloud: rendered mask transplanted to the detected (X, Y).
+    smask = _transplanted_scene_mask(out.mask, out.rect, X + params.bias_x, Y, H, W)
+    ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
+    scene_pts, scene_valid = _compact_points(
+        cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap
+    )
+
+    # Outlier removal + voxel downsampling (cpp:841-850).
+    scene_valid = pcu.statistical_outlier_removal(
+        scene_pts, scene_valid, params.sor_mean_k, params.sor_std_mul
+    )
+    scene_pts, scene_valid = pcu.voxel_grid_filter(
+        scene_pts, scene_valid, params.voxel_leaf, params.scene_cap
+    )
+    model_pts, model_valid = pcu.voxel_grid_filter(
+        model_pts, model_valid, params.voxel_leaf, params.model_cap
+    )
+
+    # Initial pose: averaged R, z = averaged Ori_dist (cpp:788-790).
+    pose0 = geo.make_transform(R_avg, jnp.array([0.0, 0.0, 1.0]) * Trans_aver)
+
+    # Surface-centroid pairing (cpp:1062-1131): translate model so the
+    # surface point nearest its centroid lands on the scene's.
+    sc = pcu.masked_centroid(scene_pts, scene_valid)
+    mc = pcu.masked_centroid(model_pts, model_valid)
+    s_surf = pcu.nearest_point(scene_pts, scene_valid, sc)
+    m_surf = pcu.nearest_point(model_pts, model_valid, mc)
+    tshift = s_surf - m_surf
+    pose0 = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + tshift)
+    model_pts_t = model_pts + tshift[None, :]
+
+    # ICP (coarse + fine) — pose = tf @ pose (cpp:1328-1331, 1363-1368).
+    icp_res = icp_two_stage(
+        model_pts_t, model_valid, scene_pts, scene_valid,
+        coarse_iterations=params.icp_max_iter,
+        coarse_corr_dist=params.icp_max_corr_dist,
+        coarse_rejection=params.icp_ransac_thresh,
+        transform_epsilon=params.icp_tr_epsilon,
+        fine_iterations=params.icp_fine_iter,
+        fine_corr_dist=params.icp_fine_corr_dist,
+        fine_rejection=params.icp_fine_ransac,
+    )
+    pose = icp_res.transform @ pose0
+    model_final = model_pts_t @ icp_res.transform[:3, :3].T + icp_res.transform[:3, 3]
+
+    # Hypothesis verification: voxel-occupancy rate (cpp:1457-1506).
+    hv_rate = pcu.voxel_occupancy_rate(
+        model_final, model_valid, scene_pts, scene_valid, params.hv_resolution
+    )
+    hv_ok = (~jnp.array(params.enable_hv)) | (hv_rate >= params.hv_threshold)
+
+    # Canonicalization (C22).
+    R = pose[:3, :3]
+    if params.canonicalize == "x_front":
+        # service.cpp:562-583
+        def flip_x(R):
+            R = R.at[:, 0].set(-R[:, 0])
+            return jax.lax.cond(
+                R[1, 1] > 0,
+                lambda R: R.at[:, 1].set(-R[:, 1]),
+                lambda R: R.at[:, 2].set(-R[:, 2]),
+                R,
+            )
+
+        def keep_x(R):
+            return jax.lax.cond(
+                R[1, 1] > 0,
+                lambda R: R.at[:, 1].set(-R[:, 1]).at[:, 2].set(-R[:, 2]),
+                lambda R: R,
+                R,
+            )
+
+        R = jax.lax.cond(R[0, 0] < 0, flip_x, keep_x, R)
+    elif params.canonicalize == "z_down":
+        # carmine:487-495
+        R = jax.lax.cond(
+            R[2, 2] < 0,
+            lambda R: R.at[:, 0].set(-R[:, 0]).at[:, 2].set(-R[:, 2]),
+            lambda R: R,
+            R,
+        )
+    pose = pose.at[:3, :3].set(R)
+
+    rect = jnp.stack([X, Y, out.rect[2], out.rect[3]])
+    ok = cluster_valid & hv_ok & (jnp.sum(scene_valid) > 10) & (jnp.sum(model_valid) > 10)
+    return ClusterPose(
+        pose=pose, rect=rect, score=cluster_score,
+        icp_fitness=icp_res.fitness, hv_rate=hv_rate, valid=ok,
+    )

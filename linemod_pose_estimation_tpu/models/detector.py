@@ -90,6 +90,32 @@ class Detector:
 
     # -- matching -----------------------------------------------------------
 
+    def match_raw(
+        self,
+        rgb: np.ndarray,
+        threshold: float,
+        depth_mm: np.ndarray | None = None,
+        class_ids: list[str] | None = None,
+        top_k: int = 512,
+    ) -> dict[str, M.Matches]:
+        """Device-side match: padded Matches arrays with validity masks
+        (feed these straight into the cascade without host sync)."""
+        p = self.params
+        use_depth = p.use_depth_normal and depth_mm is not None
+        pyr = M.preprocess_frame(
+            jnp.asarray(rgb),
+            jnp.asarray(depth_mm) if depth_mm is not None else None,
+            T0=p.t_pyramid[0],
+            T1=p.t_pyramid[1],
+            use_depth=use_depth,
+            weak_threshold=p.color.weak_threshold,
+        )
+        out: dict[str, M.Matches] = {}
+        for cid in class_ids or self.class_ids:
+            bank = self.bank(cid)
+            out[cid] = self._match_class(bank, pyr, threshold, top_k)
+        return out
+
     def match(
         self,
         rgb: np.ndarray,
@@ -105,25 +131,22 @@ class Detector:
         T-strided scoring at the pyramid top, threshold + top-k, then
         level-0 local refinement reporting the finest-level similarity.
         """
-        p = self.params
-        use_depth = p.use_depth_normal and depth_mm is not None
-        pyr = M.preprocess_frame(
-            jnp.asarray(rgb),
-            jnp.asarray(depth_mm) if depth_mm is not None else None,
-            T0=p.t_pyramid[0],
-            T1=p.t_pyramid[1],
-            use_depth=use_depth,
-            weak_threshold=p.color.weak_threshold,
-        )
+        raw = self.match_raw(rgb, threshold, depth_mm, class_ids, top_k)
         out: dict[str, MatchResult] = {}
-        for cid in class_ids or self.class_ids:
-            bank = self.bank(cid)
-            out[cid] = self._match_class(bank, pyr, threshold, top_k)
+        for cid, matches in raw.items():
+            ok = np.asarray(matches.valid)
+            out[cid] = MatchResult(
+                class_id=cid,
+                x=np.asarray(matches.x)[ok],
+                y=np.asarray(matches.y)[ok],
+                template_id=np.asarray(matches.template_id)[ok],
+                similarity=np.asarray(matches.similarity)[ok],
+            )
         return out
 
     def _match_class(
         self, bank: TemplateBank, pyr: M.FramePyramid, threshold: float, top_k: int
-    ) -> MatchResult:
+    ) -> M.Matches:
         p = self.params
         T1 = p.t_pyramid[1]
         T0 = p.t_pyramid[0]
@@ -147,16 +170,47 @@ class Detector:
         # Coarse pass gate: slightly relaxed threshold (the reported score is
         # the level-0 one; OpenCV also thresholds the coarse level directly).
         cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
-        matches = M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
+        return M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
 
-        ok = np.asarray(matches.valid)
-        return MatchResult(
-            class_id=bank.class_id,
-            x=np.asarray(matches.x)[ok],
-            y=np.asarray(matches.y)[ok],
-            template_id=np.asarray(matches.template_id)[ok],
-            similarity=np.asarray(matches.similarity)[ok],
-        )
+    # -- fused single-dispatch matcher (bench / serving path) ---------------
+
+    def make_matcher_fn(self, class_id: str, threshold: float, top_k: int = 512):
+        """Build one jittable fn(rgb[, depth_mm]) -> Matches fusing
+        preprocess + coarse + select + refine into a single XLA program
+        (the serving hot path; used by bench.py and __graft_entry__)."""
+        import jax
+
+        p = self.params
+        bank = self.bank(class_id)
+        T0, T1 = p.t_pyramid[0], p.t_pyramid[1]
+        ext1 = bank.max_cell_extent(1)
+        use_depth = p.use_depth_normal
+
+        f1 = [bank.levels[1]["grad"]] if p.use_color_gradient else []
+        f0 = [bank.levels[0]["grad"]] if p.use_color_gradient else []
+        if p.use_depth_normal:
+            f1.append(bank.levels[1]["norm"])
+            f0.append(bank.levels[0]["norm"])
+
+        def fn(rgb, depth_mm=None):
+            pyr = M.preprocess_frame(
+                rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth,
+                weak_threshold=p.color.weak_threshold,
+            )
+            r1 = [pyr.grad_r1] if p.use_color_gradient else []
+            r0 = [pyr.grad_r0] if p.use_color_gradient else []
+            if p.use_depth_normal:
+                r1.append(pyr.norm_r1)
+                r0.append(pyr.norm_r0)
+            feats1, R1 = M.merge_modalities(f1, r1)
+            feats0, R0 = M.merge_modalities(f0, r0)
+            raw = M.coarse_scores(R1, feats1, T1, ext1)
+            Hc, Wc = raw.shape[1:]
+            vpos = M.position_validity(feats1.size, T1, Hc, Wc)
+            cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
+            return M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
+
+        return jax.jit(fn)
 
     # -- serialization ------------------------------------------------------
 

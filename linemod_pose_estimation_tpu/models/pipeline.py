@@ -1,0 +1,184 @@
+"""DetectionPipeline: the full per-frame flow of the reference's detect_cb
+(SURVEY.md section 3.2) behind one object.
+
+    pipeline = DetectionPipeline(detector, bank, stl_path, cascade_params)
+    detections = pipeline.detect(rgb, cloud)   # -> [Detection(pose, ...)]
+
+Stage order: LINEMOD match (C1) -> rcd voting (C2) -> cluster filter (C3) ->
+scoring (C4) -> IoU NMS (C7) -> rough pose by orientation clustering + re-
+render (C8/C9) -> two-stage ICP (C10) -> hypothesis verification (C11) ->
+canonicalization (C22).  Everything after the match runs as one jitted,
+vmapped-over-clusters device program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import match as M
+from ..utils import geometry as geo
+from . import cascade as CC
+from .detector import Detector
+from .renderer import _pad_triangles
+from .templates import TemplateBank, TemplateMetadata, RendererGlobals
+
+
+@dataclass
+class Detection:
+    """One verified object hypothesis (the reference's ClusterData,
+    rgbdDetector.h:68-110)."""
+
+    pose: np.ndarray  # (4, 4) object -> camera
+    rect: tuple[int, int, int, int]
+    score: float
+    icp_fitness: float
+    hv_rate: float
+
+
+class DetectionPipeline:
+    def __init__(
+        self,
+        detector: Detector,
+        metadata: TemplateMetadata,
+        globals_: RendererGlobals,
+        mesh_or_path,
+        params: CC.CascadeParams | None = None,
+        class_id: str | None = None,
+        render_size: tuple[int, int] | None = None,
+    ):
+        from ..utils.stl import Mesh, load_stl
+
+        self.detector = detector
+        self.class_id = class_id or detector.class_ids[0]
+        self.params = params or CC.CascadeParams()
+        self.metadata = metadata
+        self.globals = globals_
+
+        mesh = load_stl(mesh_or_path) if isinstance(mesh_or_path, str) else mesh_or_path
+        self.triangles = jnp.asarray(_pad_triangles(mesh.triangles.astype(np.float32), 64))
+        rw, rh = render_size or (globals_.width, globals_.height)
+        self.render_wh = (rw, rh)
+        self.K_render = jnp.array(
+            [
+                [globals_.focal_length_x * rw / globals_.width, 0, rw / 2.0],
+                [0, globals_.focal_length_y * rh / globals_.height, rh / 2.0],
+                [0, 0, 1.0],
+            ],
+            jnp.float32,
+        )
+
+        # Device-side bank metadata.
+        self.q_bank = jnp.asarray(
+            np.asarray(geo.quat_from_matrix(jnp.asarray(metadata.R))), jnp.float32
+        )
+        self.T_bank = jnp.asarray(metadata.T, jnp.float32)
+        self.D_bank = jnp.asarray(metadata.D, jnp.float32)
+        self.Od_bank = jnp.asarray(metadata.Ori_dist, jnp.float32)
+        self.Rect_bank = jnp.asarray(metadata.Rect, jnp.int32)
+
+        self._pose_stage = jax.jit(self._build_pose_stage())
+
+    # ------------------------------------------------------------------
+
+    def _build_pose_stage(self):
+        p = self.params
+        tris = self.triangles
+        K_render = self.K_render
+        render_wh = self.render_wh
+
+        def run(matches: M.Matches, cloud: jnp.ndarray):
+            clusters = CC.cluster_matches(
+                matches,
+                self.Od_bank,
+                self.Rect_bank,
+                self.globals.radius_min,
+                self.globals.radius_step,
+                p.clustering_step,
+                p.cluster_filter_thresh,
+                p.max_cells,
+                p.members_cap,
+            )
+            keep = CC.nms_iou(clusters, p.iou_threshold)
+            alive = clusters.valid & keep
+            # Top clusters by score.
+            order = jnp.argsort(-jnp.where(alive, clusters.score, -jnp.inf))[: p.max_clusters]
+            c_valid = alive[order]
+            c_score = clusters.score[order]
+            midx = clusters.member_idx[order]  # (C, M)
+            mval = clusters.member_valid[order]
+
+            tids = matches.template_id[midx]
+            mq = self.q_bank[tids]
+            mT = self.T_bank[tids]
+            mD = self.D_bank[tids]
+            mOd = self.Od_bank[tids]
+            mx = matches.x[midx].astype(jnp.float32)
+            my = matches.y[midx].astype(jnp.float32)
+
+            f = partial(
+                CC.rough_pose_and_refine,
+                params=p,
+                render_wh=render_wh,
+            )
+            poses = jax.vmap(
+                lambda q, T, D, Od, x, y, mv, cv, cs: f(
+                    q, T, D, Od, x, y, mv, cv, cs,
+                    cloud=cloud, triangles=tris, K_render=K_render,
+                )
+            )(mq, mT, mD, mOd, mx, my, mval, c_valid, c_score)
+            return poses
+
+        return run
+
+    # ------------------------------------------------------------------
+
+    def detect(
+        self,
+        rgb: np.ndarray,
+        cloud: np.ndarray,
+        threshold: float = 91.0,
+        depth_mm: np.ndarray | None = None,
+    ) -> list[Detection]:
+        """Run the full cascade on one frame; returns verified detections
+        sorted by score (empty list = 'no object', the service's identity-
+        pose case, service.cpp:1832-1846)."""
+        matches = self.detector.match_raw(
+            rgb, threshold, depth_mm=depth_mm, class_ids=[self.class_id],
+            top_k=self.params.max_matches,
+        )[self.class_id]
+        poses = self._pose_stage(matches, jnp.asarray(cloud, jnp.float32))
+
+        out: list[Detection] = []
+        valid = np.asarray(poses.valid)
+        for i in np.nonzero(valid)[0]:
+            out.append(
+                Detection(
+                    pose=np.asarray(poses.pose[i]),
+                    rect=tuple(int(v) for v in np.asarray(poses.rect[i])),
+                    score=float(poses.score[i]),
+                    icp_fitness=float(poses.icp_fitness[i]),
+                    hv_rate=float(poses.hv_rate[i]),
+                )
+            )
+        out.sort(key=lambda d: -d.score)
+        return out
+
+    @classmethod
+    def from_files(
+        cls,
+        templates_yml: str,
+        params_yml: str,
+        stl_path: str,
+        cascade_params: CC.CascadeParams | None = None,
+        render_size: tuple[int, int] | None = None,
+    ) -> "DetectionPipeline":
+        """Cold-start from serialized banks, like the reference nodes' ctors
+        (service.cpp:224-247)."""
+        det = Detector.read(templates_yml)
+        meta, glob = TemplateBank.read_params_yaml(params_yml)
+        return cls(det, meta, glob, stl_path, cascade_params, render_size=render_size)

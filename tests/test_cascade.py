@@ -1,0 +1,162 @@
+"""End-to-end cascade tests: render -> train -> detect -> 6D pose."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linemod_pose_estimation_tpu.models import cascade as CC
+from linemod_pose_estimation_tpu.models.detector import Detector
+from linemod_pose_estimation_tpu.models.pipeline import DetectionPipeline
+from linemod_pose_estimation_tpu.models.renderer import Renderer
+from linemod_pose_estimation_tpu.models.templates import (
+    DetectorParams,
+    RendererGlobals,
+    TemplateBank,
+    TemplateMetadata,
+)
+from linemod_pose_estimation_tpu.ops.match import Matches
+from linemod_pose_estimation_tpu.utils import geometry as geo
+from linemod_pose_estimation_tpu.utils import pointcloud as pcu
+
+BANK = "/root/reference/config/data/boxNew_longDistance_linemod_xtion_renderer_params.yml"
+STL = "/root/reference/config/stl/boxNew.stl"
+W, H = 160, 120
+
+
+def make_matches(entries, cap=64):
+    """entries: list of (x, y, tid, sim)."""
+    n = len(entries)
+    x = np.zeros(cap, np.int32)
+    y = np.zeros(cap, np.int32)
+    t = np.zeros(cap, np.int32)
+    s = np.zeros(cap, np.float32)
+    v = np.zeros(cap, bool)
+    for i, (xi, yi, ti, si) in enumerate(entries):
+        x[i], y[i], t[i], s[i], v[i] = xi, yi, ti, si, True
+    return Matches(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y), jnp.asarray(s), jnp.asarray(v))
+
+
+def test_cluster_matches_groups_and_filters():
+    # Two spatial groups; group A has 4 matches, group B has 2 (filtered at
+    # thresh=2 only if <=2 -> B dropped).
+    ents = [(10, 10, 0, 95), (12, 11, 0, 93), (15, 14, 0, 91), (18, 12, 0, 97),
+            (100, 100, 0, 99), (101, 101, 0, 98)]
+    m = make_matches(ents)
+    od = jnp.full((4,), 0.55, jnp.float32)
+    rects = jnp.tile(jnp.array([[0, 0, 30, 40]], jnp.int32), (4, 1))
+    cs = CC.cluster_matches(m, od, rects, 0.5, 0.1, 20, 2, 8, 16)
+    nvalid = int(np.sum(np.asarray(cs.valid)))
+    assert nvalid == 1
+    i = int(np.argmax(np.asarray(cs.valid)))
+    assert int(cs.count[i]) == 4
+    np.testing.assert_allclose(float(cs.score[i]), (95 + 93 + 91 + 97) / 4, atol=1e-4)
+    # Averaged bbox: x = floor(mean(10,12,15,18)) = 13, w = 30.
+    np.testing.assert_allclose(np.asarray(cs.bbox[i]), [13, 11, 30, 40])
+    # Member indices map back to the original matches.
+    mi = np.asarray(cs.member_idx[i])[np.asarray(cs.member_valid[i])]
+    assert set(np.asarray(m.x)[mi].tolist()) == {10, 12, 15, 18}
+
+
+def test_cluster_filter_threshold_semantics():
+    # Exactly thresh members -> dropped (reference erases size() <= thresh).
+    ents = [(10, 10, 0, 95), (12, 11, 0, 93)]
+    m = make_matches(ents)
+    od = jnp.full((1,), 0.55, jnp.float32)
+    rects = jnp.array([[0, 0, 10, 10]], jnp.int32)
+    cs = CC.cluster_matches(m, od, rects, 0.5, 0.1, 20, 2, 8, 16)
+    assert int(np.sum(np.asarray(cs.valid))) == 0
+    cs2 = CC.cluster_matches(m, od, rects, 0.5, 0.1, 20, 1, 8, 16)
+    assert int(np.sum(np.asarray(cs2.valid))) == 1
+
+
+def test_depth_bins_separate_clusters():
+    # Same image cell, different template depths -> separate vote cells.
+    ents = [(10, 10, 0, 95), (11, 11, 0, 93), (10, 11, 0, 94),
+            (12, 10, 1, 90), (11, 12, 1, 92), (10, 12, 1, 91)]
+    m = make_matches(ents)
+    od = jnp.array([0.55, 0.95], jnp.float32)
+    rects = jnp.tile(jnp.array([[0, 0, 10, 10]], jnp.int32), (2, 1))
+    cs = CC.cluster_matches(m, od, rects, 0.5, 0.1, 20, 2, 8, 16)
+    assert int(np.sum(np.asarray(cs.valid))) == 2
+
+
+def test_nms_iou_suppresses_overlaps():
+    score = jnp.array([90.0, 95.0, 80.0, -1.0])
+    bbox = jnp.array(
+        [[10, 10, 40, 40], [12, 12, 40, 40], [200, 200, 40, 40], [0, 0, 0, 0]],
+        jnp.float32,
+    )
+    cs = CC.ClusterSet(
+        score=score,
+        count=jnp.array([3, 3, 3, 0]),
+        bbox=bbox,
+        valid=jnp.array([True, True, True, False]),
+        member_idx=jnp.zeros((4, 4), jnp.int32),
+        member_valid=jnp.zeros((4, 4), bool),
+    )
+    keep = np.asarray(CC.nms_iou(cs, 0.4))
+    assert keep.tolist() == [False, True, True, False]  # 1 beats 0; 2 disjoint
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    meta_full, glob = TemplateBank.read_params_yaml(BANK)
+    # Small render geometry for CPU tests.
+    glob.width, glob.height = W, H
+    glob.focal_length_x /= 4
+    glob.focal_length_y /= 4
+    r = Renderer(STL, W, H, glob.focal_length_x, glob.focal_length_y)
+    # Train on a handful of shipped poses (spread over the bank).
+    ids = [40, 41, 42, 700, 1400]
+    det = Detector(DetectorParams())
+    kept = []
+    for i in ids:
+        out = r.render(meta_full.R[i], meta_full.T[i])
+        tid = det.add_template(np.asarray(out.rgb), np.asarray(out.mask), "boxNew")
+        if tid >= 0:
+            kept.append(i)
+    assert len(kept) >= 3
+    meta = TemplateMetadata(
+        R=meta_full.R[kept],
+        T=meta_full.T[kept],
+        K=meta_full.K[kept],
+        D=meta_full.D[kept],
+        Ori_dist=meta_full.Ori_dist[kept],
+        Rect=meta_full.Rect[kept],
+    )
+    params = CC.CascadeParams(
+        canonicalize="none",
+        max_clusters=2,
+        model_cap=512,
+        scene_cap=512,
+        icp_max_iter=40,
+        cluster_filter_thresh=0,
+    )
+    pipe = DetectionPipeline(det, meta, glob, STL, params, render_size=(W, H))
+    return pipe, r, meta, kept
+
+
+def test_full_cascade_recovers_pose(pipeline):
+    pipe, r, meta, kept = pipeline
+    # Scene = training view 0 exactly; cloud from its rendered depth.
+    out = r.render(meta.R[0], meta.T[0])
+    rgb = np.asarray(out.rgb)
+    cloud = np.asarray(pcu.depth_to_cloud(out.depth_mm / 1000.0, r.K))
+    dets = pipe.detect(rgb, cloud, threshold=85.0)
+    assert len(dets) >= 1
+    d = dets[0]
+    R_gt = meta.R[0]
+    t_gt = R_gt @ meta.T[0]
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
+    terr = np.linalg.norm(d.pose[:3, 3] - t_gt)
+    assert ang < 5.0, f"rotation error {ang} deg"
+    assert terr < 0.01, f"translation error {terr} m"
+    assert d.score >= 85.0
+
+
+def test_cascade_empty_scene(pipeline):
+    pipe, r, meta, kept = pipeline
+    rgb = np.zeros((H, W, 3), np.uint8)
+    cloud = np.full((H, W, 3), np.nan, np.float32)
+    dets = pipe.detect(rgb, cloud, threshold=85.0)
+    assert dets == []

@@ -1,0 +1,79 @@
+import jax.numpy as jnp
+import numpy as np
+
+from linemod_pose_estimation_tpu.ops import icp as I
+from linemod_pose_estimation_tpu.utils import geometry as geo
+
+
+def make_model(rng, n=256):
+    """A boxy point cloud (not rotation-symmetric)."""
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    pts *= np.array([0.05, 0.03, 0.015], np.float32)
+    # project onto the box surface to mimic a depth-view cloud
+    ax = rng.integers(0, 3, size=n)
+    sgn = rng.choice([-1.0, 1.0], size=n)
+    lim = np.array([0.05, 0.03, 0.015], np.float32)
+    pts[np.arange(n), ax] = (sgn * lim[ax]).astype(np.float32)
+    return pts
+
+
+def rot(axis, deg):
+    axis = np.asarray(axis, np.float64)
+    axis /= np.linalg.norm(axis)
+    a = np.radians(deg)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * K @ K
+
+
+def test_icp_recovers_small_pose_offset(rng):
+    model = make_model(rng)
+    R = rot([0.3, 1.0, 0.2], 8.0)
+    t = np.array([0.012, -0.008, 0.01], np.float32)
+    scene = (model @ R.T + t).astype(np.float32)
+    valid = np.ones(model.shape[0], bool)
+    res = I.icp(
+        jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene), jnp.asarray(valid),
+        max_iterations=100, max_corr_dist=0.05, rejection_dist=0.02,
+    )
+    T = np.asarray(res.transform)
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(T[:3, :3])))
+    assert ang < 1.0, ang
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-3)
+    assert float(res.fitness) < 1e-6
+
+
+def test_icp_two_stage_tightens(rng):
+    model = make_model(rng)
+    R = rot([1.0, 0.1, -0.4], 12.0)
+    t = np.array([0.02, 0.015, -0.01], np.float32)
+    scene = (model @ R.T + t).astype(np.float32)
+    # Scene has extra outlier structure the model shouldn't latch onto.
+    outliers = rng.uniform(0.1, 0.2, size=(64, 3)).astype(np.float32)
+    scene_all = np.concatenate([scene, outliers])
+    sv = np.ones(scene_all.shape[0], bool)
+    mv = np.ones(model.shape[0], bool)
+    res = I.icp_two_stage(
+        jnp.asarray(model), jnp.asarray(mv), jnp.asarray(scene_all), jnp.asarray(sv),
+        coarse_iterations=150, coarse_corr_dist=0.05, coarse_rejection=0.02,
+        fine_iterations=20, fine_corr_dist=0.01, fine_rejection=0.01,
+    )
+    T = np.asarray(res.transform)
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(T[:3, :3])))
+    assert ang < 1.5, ang
+    np.testing.assert_allclose(T[:3, 3], t, atol=2e-3)
+
+
+def test_icp_respects_validity_masks(rng):
+    model = make_model(rng)
+    scene = model.copy()
+    mv = np.ones(model.shape[0], bool)
+    # Append garbage invalid points that would wreck alignment if used.
+    model_pad = np.concatenate([model, rng.uniform(5, 6, (64, 3)).astype(np.float32)])
+    mv_pad = np.concatenate([mv, np.zeros(64, bool)])
+    res = I.icp(
+        jnp.asarray(model_pad), jnp.asarray(mv_pad), jnp.asarray(scene),
+        jnp.asarray(np.ones(scene.shape[0], bool)),
+        max_iterations=30, max_corr_dist=0.05, rejection_dist=0.02,
+    )
+    T = np.asarray(res.transform)
+    np.testing.assert_allclose(T, np.eye(4), atol=1e-4)
