@@ -30,18 +30,22 @@ def main() -> None:
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     T0, T1 = 5, 8
-    feats1 = _synthetic_bank_arrays(n_templates, fmax=63, extent=48, seed=0)
-    feats0 = _synthetic_bank_arrays(n_templates, fmax=63, extent=96, seed=1)
-    ext1 = 48 // T1 + 1
+    E1, E0 = 48, 96
+    Kc = E1 // T1 + 1
+    feats1 = _synthetic_bank_arrays(n_templates, fmax=63, extent=E1, seed=0)
+    feats0 = _synthetic_bank_arrays(n_templates, fmax=63, extent=E0, seed=1)
+    W1 = M.build_gemm_weights(feats1, 8, T1, Kc)
 
     @jax.jit
     def match_frame(rgb):
         pyr = M.preprocess_frame(rgb, None, T0=T0, T1=T1, use_depth=False)
-        raw = M.coarse_scores(pyr.grad_r1, feats1, T1, ext1)
+        raw = M.coarse_scores_gemm(pyr.grad_r1, W1, T1, Kc)
         Hc, Wc = raw.shape[1:]
         vpos = M.position_validity(feats1.size, T1, Hc, Wc)
-        cand = M.select_candidates(raw, feats1.count, vpos, 80.0, 256)
-        out = M.refine_candidates(pyr.grad_r0, feats0, cand, T1, 85.0, fine_T=T0)
+        cand = M.select_candidates_approx(raw, feats1.count, vpos, 80.0, 256)
+        out = M.refine_candidates_slices(
+            pyr.grad_r0, feats0, cand, T1, 85.0, E0=E0, fine_T=T0
+        )
         return out.similarity
 
     rng = np.random.default_rng(42)

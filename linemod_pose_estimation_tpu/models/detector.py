@@ -41,9 +41,21 @@ class MatchResult:
 
 
 class Detector:
-    def __init__(self, params: DetectorParams | None = None, f_cap: int = 64):
+    def __init__(
+        self, params: DetectorParams | None = None, f_cap: int = 64, engine: str = "auto"
+    ):
+        """engine: "conv" (MXU one-hot conv scoring, the TPU fast path),
+        "gather" (linearized-plane gather scan — the bit-identical reference
+        implementation both are tested against), or "auto" (conv on
+        TPU-class backends, gather on CPU where XLA's grouped conv is slow).
+        """
+        import jax
+
         self.params = params or DetectorParams()
         self.f_cap = f_cap
+        if engine == "auto":
+            engine = "gather" if jax.default_backend() == "cpu" else "conv"
+        self.engine = engine
         self._templates: dict[str, list[TemplateFeatures]] = {}
         self._banks: dict[str, TemplateBank] = {}
 
@@ -144,71 +156,78 @@ class Detector:
             )
         return out
 
+    def _response_stacks(self, bank: TemplateBank, pyr: M.FramePyramid):
+        p = self.params
+        r1 = [pyr.grad_r1] if p.use_color_gradient else []
+        r0 = [pyr.grad_r0] if p.use_color_gradient else []
+        if p.use_depth_normal:
+            r1.append(pyr.norm_r1)
+            r0.append(pyr.norm_r0)
+        R1 = r1[0] if len(r1) == 1 else jnp.concatenate(r1, axis=0)
+        R0 = r0[0] if len(r0) == 1 else jnp.concatenate(r0, axis=0)
+        return R0, R1
+
     def _match_class(
         self, bank: TemplateBank, pyr: M.FramePyramid, threshold: float, top_k: int
     ) -> M.Matches:
         p = self.params
-        T1 = p.t_pyramid[1]
-        T0 = p.t_pyramid[0]
+        T0, T1 = p.t_pyramid[0], p.t_pyramid[1]
+        R0, R1 = self._response_stacks(bank, pyr)
+        feats1 = bank.merged_features(1)
+        feats0 = bank.merged_features(0)
 
-        f1 = [bank.levels[1]["grad"]] if p.use_color_gradient else []
-        r1 = [pyr.grad_r1] if p.use_color_gradient else []
-        f0 = [bank.levels[0]["grad"]] if p.use_color_gradient else []
-        r0 = [pyr.grad_r0] if p.use_color_gradient else []
-        if p.use_depth_normal:
-            f1.append(bank.levels[1]["norm"])
-            r1.append(pyr.norm_r1)
-            f0.append(bank.levels[0]["norm"])
-            r0.append(pyr.norm_r0)
-
-        feats1, R1 = M.merge_modalities(f1, r1)
-        feats0, R0 = M.merge_modalities(f0, r0)
-
-        raw = M.coarse_scores(R1, feats1, T1, bank.max_cell_extent(1))
+        if self.engine == "conv":
+            raw = M.coarse_scores_gemm(
+                R1, bank.gemm_weights(1), T1, bank.max_cell_extent(1)
+            )
+        else:
+            raw = M.coarse_scores(R1, feats1, T1, bank.max_cell_extent(1))
         Hc, Wc = raw.shape[1:]
         vpos = M.position_validity(feats1.size, T1, Hc, Wc)
         # Coarse pass gate: slightly relaxed threshold (the reported score is
         # the level-0 one; OpenCV also thresholds the coarse level directly).
         cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
+        if self.engine == "conv":
+            return M.refine_candidates_slices(
+                R0, feats0, cand, T1, threshold, E0=bank.extent(0), fine_T=T0
+            )
         return M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
 
     # -- fused single-dispatch matcher (bench / serving path) ---------------
 
-    def make_matcher_fn(self, class_id: str, threshold: float, top_k: int = 512):
+    def make_matcher_fn(
+        self, class_id: str, threshold: float, top_k: int = 512, approx_select: bool = True
+    ):
         """Build one jittable fn(rgb[, depth_mm]) -> Matches fusing
-        preprocess + coarse + select + refine into a single XLA program
-        (the serving hot path; used by bench.py and __graft_entry__)."""
+        preprocess + coarse conv + select + refine conv into a single XLA
+        program (the serving hot path; used by bench.py and
+        __graft_entry__)."""
         import jax
 
         p = self.params
         bank = self.bank(class_id)
         T0, T1 = p.t_pyramid[0], p.t_pyramid[1]
-        ext1 = bank.max_cell_extent(1)
         use_depth = p.use_depth_normal
-
-        f1 = [bank.levels[1]["grad"]] if p.use_color_gradient else []
-        f0 = [bank.levels[0]["grad"]] if p.use_color_gradient else []
-        if p.use_depth_normal:
-            f1.append(bank.levels[1]["norm"])
-            f0.append(bank.levels[0]["norm"])
+        W1 = bank.gemm_weights(1)
+        Kc1 = bank.max_cell_extent(1)
+        E0 = bank.extent(0)
+        feats1 = bank.merged_features(1)
+        feats0 = bank.merged_features(0)
+        select = M.select_candidates_approx if approx_select else M.select_candidates
 
         def fn(rgb, depth_mm=None):
             pyr = M.preprocess_frame(
                 rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth,
                 weak_threshold=p.color.weak_threshold,
             )
-            r1 = [pyr.grad_r1] if p.use_color_gradient else []
-            r0 = [pyr.grad_r0] if p.use_color_gradient else []
-            if p.use_depth_normal:
-                r1.append(pyr.norm_r1)
-                r0.append(pyr.norm_r0)
-            feats1, R1 = M.merge_modalities(f1, r1)
-            feats0, R0 = M.merge_modalities(f0, r0)
-            raw = M.coarse_scores(R1, feats1, T1, ext1)
+            R0, R1 = self._response_stacks(bank, pyr)
+            raw = M.coarse_scores_gemm(R1, W1, T1, Kc1)
             Hc, Wc = raw.shape[1:]
             vpos = M.position_validity(feats1.size, T1, Hc, Wc)
-            cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
-            return M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
+            cand = select(raw, feats1.count, vpos, threshold - 5.0, top_k)
+            return M.refine_candidates_slices(
+                R0, feats0, cand, T1, threshold, E0=E0, fine_T=T0
+            )
 
         return jax.jit(fn)
 

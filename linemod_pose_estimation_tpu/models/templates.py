@@ -319,6 +319,60 @@ class TemplateBank:
             return 1
         return int(np.ceil(sizes.max() / T)) + 1
 
+    def extent(self, level: int) -> int:
+        """Max template pixel extent at `level`, rounded up to a multiple of
+        8 (the dense conv filter size; static for jit)."""
+        sizes = np.asarray(
+            jnp.stack([lf.size for lf in self.levels[level].values()]).max(axis=0)
+        )
+        e = int(sizes.max()) + 1 if sizes.size else 8
+        return max((e + 7) // 8 * 8, 8)
+
+    def merged_features(self, level: int):
+        """Modality-merged LevelFeatures for this level (cached; the
+        response-map stack is concatenated per frame to match)."""
+        from ..ops.match import merge_modalities
+
+        if not hasattr(self, "_merged"):
+            self._merged = {}
+        if level not in self._merged:
+            fl = list(self.levels[level].values())
+            dummy = [jnp.zeros((8, 8, 8), jnp.uint8)] * len(fl)
+            merged, _ = merge_modalities(fl, dummy)
+            self._merged[level] = merged
+        return self._merged[level]
+
+    def dense_weights(self, level: int):
+        """One-hot conv filter bank for the MXU scoring path (cached)."""
+        from ..ops.match import build_dense_weights
+
+        if not hasattr(self, "_dense_w"):
+            self._dense_w = {}
+        if level not in self._dense_w:
+            merged = self.merged_features(level)
+            C = 8 * len(self.levels[level])
+            self._dense_w[level] = build_dense_weights(merged, C, self.extent(level))
+        return self._dense_w[level]
+
+    def gemm_weights(self, level: int):
+        """One-hot GEMM weight matrix for the MXU scoring path (cached)."""
+        from ..ops.match import build_gemm_weights
+
+        if not hasattr(self, "_gemm_w"):
+            self._gemm_w = {}
+        if level not in self._gemm_w:
+            merged = self.merged_features(level)
+            C = 8 * len(self.levels[level])
+            T = self.params.t_pyramid[level]
+            self._gemm_w[level] = build_gemm_weights(
+                merged, C, T, self.max_cell_extent(level)
+            )
+        return self._gemm_w[level]
+
+    @property
+    def num_modalities(self) -> int:
+        return len(self.levels[0])
+
     # -- serialization ------------------------------------------------------
 
     def write_params_yaml(self, path: str) -> None:

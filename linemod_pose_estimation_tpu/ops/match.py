@@ -128,6 +128,267 @@ def coarse_scores(
     return acc
 
 
+# ---------------------------------------------------------------------------
+# MXU path: one-hot dense-conv scoring (the fast path on TPU; numerically
+# identical to coarse_scores, which remains the gather-based reference).
+# ---------------------------------------------------------------------------
+
+
+def build_dense_weights(feats: LevelFeatures, C: int, E: int) -> jnp.ndarray:
+    """One-hot conv weights (N, C, E, E) int8: W[n, ori, dy, dx] = 1 per
+    feature.  The whole bank becomes a single convolution filter bank —
+    scoring all templates at all window positions is then one MXU conv
+    (built once per bank; E = max template extent, multiple of 8)."""
+    N, Fmax = feats.oris.shape
+    flat = jnp.zeros((N, C * E * E), jnp.int8)
+    dy = jnp.clip(feats.offsets[..., 0], 0, E - 1)
+    dx = jnp.clip(feats.offsets[..., 1], 0, E - 1)
+    idx = feats.oris * (E * E) + dy * E + dx
+    ones = jnp.where(feats.live, jnp.int8(1), jnp.int8(0))
+    # .add, not .max: duplicate (ori, dy, dx) features must count with
+    # multiplicity to match the gather-based scorer exactly.
+    flat = flat.at[jnp.arange(N)[:, None], idx].add(ones)
+    return flat.reshape(N, C, E, E)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def coarse_scores_conv(R: jnp.ndarray, W_dense: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Raw scores (N, Hc, Wc) int32 via one stride-T convolution.
+
+    R zero-padded by E-T on the bottom/right so the output grid matches
+    coarse_scores' floor(H/T) x floor(W/T); positions where a template
+    overhangs read zeros and are masked by position_validity downstream.
+    """
+    C, H, W = R.shape
+    N, Cw, E, _ = W_dense.shape
+    assert Cw == C
+    Hc, Wc = H // T, W // T
+    pad_h = (Hc - 1) * T + E - H
+    pad_w = (Wc - 1) * T + E - W
+    Rp = jnp.pad(R, [(0, 0), (0, max(pad_h, 0)), (0, max(pad_w, 0))])
+    out = jax.lax.conv_general_dilated(
+        Rp[None].astype(jnp.int8),
+        W_dense,
+        window_strides=(T, T),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.int32,
+    )[0]
+    return out[:, :Hc, :Wc]
+
+
+def build_gemm_weights(feats: LevelFeatures, C: int, T: int, Kc: int) -> jnp.ndarray:
+    """One-hot GEMM weights (C*T*T*Kc*Kc, N) int8 for coarse_scores_gemm.
+
+    Row index = ((qy*Kc + qx) * C + ori) * T*T + ry*T + rx for a feature at
+    offset (dy, dx) = (qy*T + ry, qx*T + rx).  Built once per bank.
+    """
+    N, Fmax = feats.oris.shape
+    dy = feats.offsets[..., 0]
+    dx = feats.offsets[..., 1]
+    qy = jnp.clip(dy // T, 0, Kc - 1)
+    qx = jnp.clip(dx // T, 0, Kc - 1)
+    row = ((qy * Kc + qx) * C + feats.oris) * (T * T) + (dy % T) * T + (dx % T)
+    Wt = jnp.zeros((N, C * T * T * Kc * Kc), jnp.int8)
+    Wt = Wt.at[jnp.arange(N)[:, None], row].add(
+        jnp.where(feats.live, jnp.int8(1), jnp.int8(0))
+    )
+    return Wt.T  # (K_dim, N)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm(R: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
+    """Raw scores (N, Hc, Wc) int32 as ONE MXU GEMM.
+
+    The im2col is free: the linearized planes L[C*T*T, Hc+Kc, Wc+Kc] admit
+    every cell shift (qy, qx) as a STATIC slice, so the patch matrix
+    P[(Hc*Wc), C*T*T*Kc*Kc] is a stack of Kc^2 static views — XLA compiles
+    this orders of magnitude faster than the equivalent big-kernel conv,
+    and the contraction is a plain int8 x int8 -> int32 matmul.
+    """
+    C, H, W = R.shape
+    Hc, Wc = H // T, W // T
+    L = linearize_responses(R, T, Kc)  # (C*T*T, Hc+Kc, Wc+Kc)
+    blocks = []
+    for qy in range(Kc):
+        for qx in range(Kc):
+            blocks.append(L[:, qy : qy + Hc, qx : qx + Wc])
+    # (Kc*Kc, C*T*T, Hc, Wc) -> (Hc*Wc, Kc*Kc * C*T*T)
+    P = jnp.stack(blocks, axis=0).transpose(2, 3, 0, 1).reshape(Hc * Wc, -1)
+    raw = jax.lax.dot_general(
+        P.astype(jnp.int8),
+        W_gemm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Hc*Wc, N)
+    return raw.T.reshape(-1, Hc, Wc)
+
+
+@partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0"))
+def refine_candidates_slices(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int = 256,
+    fine_T: int = 5,
+    window: int = 24,
+) -> Matches:
+    """Refinement via contiguous window slices: a scan over feature slots,
+    each step slicing one (window x window) response block per candidate
+    (row-contiguous DMA-friendly reads instead of 9M pointwise gathers)."""
+    C, H, W = R0.shape
+    K = cand.template_id.shape[0]
+    Fmax = feats0.oris.shape[1]
+
+    anchor_y = cand.cell_y * coarse_T * 2 - (fine_T - 1)
+    anchor_x = cand.cell_x * coarse_T * 2 - (fine_T - 1)
+    anchor_y = jnp.clip(anchor_y, 0, H - 1)
+    anchor_x = jnp.clip(anchor_x, 0, W - 1)
+
+    t = cand.template_id
+    offs = feats0.offsets[t]
+    oris = feats0.oris[t]
+    live = feats0.live[t]
+    cnt = feats0.count[t]
+
+    # Features may reach past the right/bottom image edge (E0 = max template
+    # extent): zero padding makes those reads contribute nothing.
+    pad = window + E0
+    Rp = jnp.pad(R0, [(0, 0), (0, pad), (0, pad)])
+    Hp, Wp = Rp.shape[1:]
+
+    def slice_one(o, y, x):
+        return jax.lax.dynamic_slice(Rp, (o, y, x), (1, window, window))[0]
+
+    def body(acc, f):
+        ys = jnp.clip(anchor_y + offs[:, f, 0], 0, Hp - window)
+        xs = jnp.clip(anchor_x + offs[:, f, 1], 0, Wp - window)
+        vals = jax.vmap(slice_one)(oris[:, f], ys, xs).astype(jnp.int32)
+        vals = jnp.where(live[:, f][:, None, None], vals, 0)
+        return acc + vals, None
+
+    acc0 = jnp.zeros((K, window, window), jnp.int32)
+    scores, _ = jax.lax.scan(body, acc0, jnp.arange(Fmax, dtype=jnp.int32))
+
+    flat = scores.reshape(K, -1)
+    rev = flat[:, ::-1]
+    best = flat.shape[1] - 1 - jnp.argmax(rev, axis=1)
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    by = best // window
+    bx = best % window
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))
+    ok = cand.valid & (sim >= threshold)
+    return Matches(
+        template_id=t, x=anchor_x + bx, y=anchor_y + by, similarity=sim, valid=ok
+    )
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def select_candidates_approx(
+    raw: jnp.ndarray,
+    total_features: jnp.ndarray,
+    valid_pos: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+) -> CoarseMatches:
+    """TPU-fast candidate selection: approx_max_k over the score volume
+    (hardware-accelerated partial reduction; recall ~0.95+ of the exact
+    top-k, which downstream voting/NMS absorbs)."""
+    N, Hc, Wc = raw.shape
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(total_features, 1)[:, None, None])
+    sim = jnp.where(valid_pos, sim, -1.0)
+    flat = sim.reshape(-1)
+    k = min(top_k, flat.shape[0])
+    vals, idx = jax.lax.approx_max_k(flat, k)
+    t = idx // (Hc * Wc)
+    rem = idx % (Hc * Wc)
+    return CoarseMatches(
+        (idx // (Hc * Wc)).astype(jnp.int32),
+        (rem // Wc).astype(jnp.int32),
+        (rem % Wc).astype(jnp.int32),
+        vals,
+        vals >= threshold,
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0"))
+def refine_candidates_conv(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int,
+    fine_T: int = 5,
+    window: int = 24,
+) -> Matches:
+    """MXU refinement: per-candidate response patches convolved with
+    scatter-built one-hot filters of the candidates' level-0 features
+    (batch-grouped conv: candidate k's patch sees only filter k).
+
+    Equivalent to refine_candidates; avoids the giant elementwise gather.
+    """
+    C, H, W = R0.shape
+    K = cand.template_id.shape[0]
+
+    anchor_y = cand.cell_y * coarse_T * 2 - (fine_T - 1)
+    anchor_x = cand.cell_x * coarse_T * 2 - (fine_T - 1)
+    anchor_y = jnp.clip(anchor_y, 0, H - 1)
+    anchor_x = jnp.clip(anchor_x, 0, W - 1)
+
+    t = cand.template_id
+    # Per-candidate one-hot filters (K, C, E0, E0) from the bank's features.
+    offs = feats0.offsets[t]
+    oris = feats0.oris[t]
+    live = feats0.live[t]
+    cnt = feats0.count[t]
+    dy = jnp.clip(offs[..., 0], 0, E0 - 1)
+    dx = jnp.clip(offs[..., 1], 0, E0 - 1)
+    fidx = oris * (E0 * E0) + dy * E0 + dx
+    Wk = jnp.zeros((K, C * E0 * E0), jnp.int8)
+    Wk = Wk.at[jnp.arange(K)[:, None], fidx].add(jnp.where(live, jnp.int8(1), jnp.int8(0)))
+    Wk = Wk.reshape(K, C, E0, E0)
+
+    # Per-candidate padded response patches (K, C, E0+window-1, ...).
+    P = E0 + window - 1
+    Rp = jnp.pad(R0, [(0, 0), (0, P), (0, P)]).astype(jnp.int8)
+
+    def patch(ay, ax):
+        return jax.lax.dynamic_slice(Rp, (0, ay, ax), (C, P, P))
+
+    patches = jax.vmap(patch)(anchor_y, anchor_x)  # (K, C, P, P)
+
+    # Batch-grouped conv: candidate k's patch x filter k -> (K, window, window).
+    scores = jax.lax.conv_general_dilated(
+        patches,
+        Wk,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        batch_group_count=K,
+        preferred_element_type=jnp.int32,
+    )
+    # Output layout: (1, K, window, window).
+    scores = scores.reshape(K, window, window)
+
+    # Mask window offsets that run out of the original image: a feature read
+    # past (H, W) must contribute 0 — the zero padding already ensures that,
+    # and template-fit masking happens at the caller via position_validity.
+    flat = scores.reshape(K, -1)
+    rev = flat[:, ::-1]
+    best = flat.shape[1] - 1 - jnp.argmax(rev, axis=1)
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    by = best // window
+    bx = best % window
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))
+    ok = cand.valid & (sim >= threshold)
+    return Matches(
+        template_id=t, x=anchor_x + bx, y=anchor_y + by, similarity=sim, valid=ok
+    )
+
+
 def position_validity(size: jnp.ndarray, T: int, Hc: int, Wc: int) -> jnp.ndarray:
     """(N, Hc, Wc) bool — window position (i, j) keeps the template in-bounds."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 0)

@@ -1,0 +1,121 @@
+"""MXU conv-path scoring must equal the gather-based reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linemod_pose_estimation_tpu.ops import match as M
+
+
+def random_bank(rng, n, fmax=24, extent=30):
+    offs = rng.integers(0, extent, size=(n, fmax, 2)).astype(np.int32)
+    oris = rng.integers(0, 8, size=(n, fmax)).astype(np.int32)
+    cnt = rng.integers(4, fmax + 1, size=(n,)).astype(np.int32)
+    live = np.arange(fmax)[None, :] < cnt[:, None]
+    size = np.full((n, 2), extent, np.int32)
+    return M.LevelFeatures(
+        offsets=jnp.asarray(offs), oris=jnp.asarray(oris), live=jnp.asarray(live),
+        count=jnp.asarray(cnt), size=jnp.asarray(size),
+    )
+
+
+def random_R(rng, c, h, w):
+    return jnp.asarray(rng.choice([0, 3, 4], size=(c, h, w)).astype(np.uint8))
+
+
+def test_conv_coarse_equals_gather(rng):
+    T, ext_px = 8, 30
+    feats = random_bank(rng, 17)
+    R = random_R(rng, 8, 72, 96)
+    ref = M.coarse_scores(R, feats, T, ext_px // T + 1)
+    W = M.build_dense_weights(feats, 8, 32)
+    got = M.coarse_scores_conv(R, W, T)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_coarse_merged_modalities(rng):
+    feats_g = random_bank(rng, 9)
+    feats_n = random_bank(rng, 9)
+    Rg = random_R(rng, 8, 64, 64)
+    Rn = random_R(rng, 8, 64, 64)
+    merged, R = M.merge_modalities([feats_g, feats_n], [Rg, Rn])
+    ref = M.coarse_scores(R, merged, 8, 5)
+    W = M.build_dense_weights(merged, 16, 32)
+    got = M.coarse_scores_conv(R, W, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_refine_equals_gather(rng):
+    T1, T0 = 8, 5
+    feats0 = random_bank(rng, 12, fmax=24, extent=56)
+    R0 = random_R(rng, 8, 120, 160)
+    cand = M.CoarseMatches(
+        template_id=jnp.asarray(rng.integers(0, 12, 6).astype(np.int32)),
+        cell_y=jnp.asarray(rng.integers(0, 4, 6).astype(np.int32)),
+        cell_x=jnp.asarray(rng.integers(0, 6, 6).astype(np.int32)),
+        similarity=jnp.full((6,), 90.0, jnp.float32),
+        valid=jnp.ones((6,), bool),
+    )
+    ref = M.refine_candidates(R0, feats0, cand, T1, 50.0, fine_T=T0)
+    got = M.refine_candidates_conv(R0, feats0, cand, T1, 50.0, E0=64, fine_T=T0)
+    np.testing.assert_array_equal(np.asarray(ref.similarity), np.asarray(got.similarity))
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(got.x))
+    np.testing.assert_array_equal(np.asarray(ref.y), np.asarray(got.y))
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+
+def test_gemm_coarse_equals_gather(rng):
+    T = 8
+    feats = random_bank(rng, 17, fmax=24, extent=30)
+    R = random_R(rng, 8, 72, 96)
+    Kc = 30 // T + 1
+    ref = M.coarse_scores(R, feats, T, Kc)
+    Wg = M.build_gemm_weights(feats, 8, T, Kc)
+    got = M.coarse_scores_gemm(R, Wg, T, Kc)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_gemm_coarse_merged_modalities(rng):
+    feats_g = random_bank(rng, 9)
+    feats_n = random_bank(rng, 9)
+    Rg = random_R(rng, 8, 64, 64)
+    Rn = random_R(rng, 8, 64, 64)
+    merged, R = M.merge_modalities([feats_g, feats_n], [Rg, Rn])
+    ref = M.coarse_scores(R, merged, 8, 5)
+    Wg = M.build_gemm_weights(merged, 16, 8, 5)
+    got = M.coarse_scores_gemm(R, Wg, 8, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_slices_refine_equals_gather(rng):
+    T1, T0 = 8, 5
+    feats0 = random_bank(rng, 12, fmax=24, extent=56)
+    R0 = random_R(rng, 8, 120, 160)
+    cand = M.CoarseMatches(
+        template_id=jnp.asarray(rng.integers(0, 12, 6).astype(np.int32)),
+        cell_y=jnp.asarray(rng.integers(0, 7, 6).astype(np.int32)),
+        cell_x=jnp.asarray(rng.integers(0, 9, 6).astype(np.int32)),
+        similarity=jnp.full((6,), 90.0, jnp.float32),
+        valid=jnp.ones((6,), bool),
+    )
+    ref = M.refine_candidates(R0, feats0, cand, T1, 50.0, fine_T=T0)
+    got = M.refine_candidates_slices(R0, feats0, cand, T1, 50.0, E0=64, fine_T=T0)
+    np.testing.assert_array_equal(np.asarray(ref.similarity), np.asarray(got.similarity))
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(got.x))
+    np.testing.assert_array_equal(np.asarray(ref.y), np.asarray(got.y))
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+
+def test_dense_weights_structure(rng):
+    feats = random_bank(rng, 3, fmax=8, extent=10)
+    W = np.asarray(M.build_dense_weights(feats, 8, 16))
+    for n in range(3):
+        cnt = int(feats.count[n])
+        # Each live feature adds one count (duplicates keep multiplicity).
+        for f in range(cnt):
+            o = int(feats.oris[n, f])
+            y = int(feats.offsets[n, f, 0])
+            x = int(feats.offsets[n, f, 1])
+            assert W[n, o, y, x] >= 1
+        assert W[n].sum() == cnt
