@@ -196,12 +196,17 @@ class Detector:
     # -- fused single-dispatch matcher (bench / serving path) ---------------
 
     def make_matcher_fn(
-        self, class_id: str, threshold: float, top_k: int = 512, approx_select: bool = True
+        self, class_id: str, threshold: float, top_k: int = 512,
+        approx_select: bool = True, use_pallas_refine: bool | None = None,
     ):
-        """Build one jittable fn(rgb[, depth_mm]) -> Matches fusing
-        preprocess + coarse conv + select + refine conv into a single XLA
-        program (the serving hot path; used by bench.py and
-        __graft_entry__)."""
+        """Build the serving hot path: fn(rgb[, depth_mm]) -> Matches.
+
+        Dispatches as a chain of stage-level jitted programs with the bank
+        arrays passed as ARGUMENTS — closing over them would embed hundreds
+        of MB of constants in one HLO, which makes compiles pathological.
+        Stage chaining is async, so per-dispatch overhead (~25 us) is
+        negligible.
+        """
         import jax
 
         p = self.params
@@ -214,6 +219,21 @@ class Detector:
         feats1 = bank.merged_features(1)
         feats0 = bank.merged_features(0)
         select = M.select_candidates_approx if approx_select else M.select_candidates
+        if use_pallas_refine is None:
+            use_pallas_refine = jax.default_backend() not in ("cpu",)
+        refine = M.refine_candidates_pallas if use_pallas_refine else M.refine_candidates_slices
+
+        coarse = jax.jit(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc1))
+
+        def _sel(raw, f1):
+            Hc, Wc = raw.shape[1:]
+            vpos = M.position_validity(f1.size, T1, Hc, Wc)
+            return select(raw, f1.count, vpos, threshold - 5.0, top_k)
+
+        sel = jax.jit(_sel)
+        ref = jax.jit(
+            lambda R0, f0, cand: refine(R0, f0, cand, T1, threshold, E0=E0, fine_T=T0)
+        )
 
         def fn(rgb, depth_mm=None):
             pyr = M.preprocess_frame(
@@ -221,15 +241,11 @@ class Detector:
                 weak_threshold=p.color.weak_threshold,
             )
             R0, R1 = self._response_stacks(bank, pyr)
-            raw = M.coarse_scores_gemm(R1, W1, T1, Kc1)
-            Hc, Wc = raw.shape[1:]
-            vpos = M.position_validity(feats1.size, T1, Hc, Wc)
-            cand = select(raw, feats1.count, vpos, threshold - 5.0, top_k)
-            return M.refine_candidates_slices(
-                R0, feats0, cand, T1, threshold, E0=E0, fine_T=T0
-            )
+            raw = coarse(R1, W1)
+            cand = sel(raw, feats1)
+            return ref(R0, feats0, cand)
 
-        return jax.jit(fn)
+        return fn
 
     # -- serialization ------------------------------------------------------
 

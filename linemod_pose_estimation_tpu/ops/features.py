@@ -41,40 +41,37 @@ def _reflect_pad2d(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.pad(x, [(p, p), (p, p)], mode="reflect")
 
 
+def _conv1d(x: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """VALID 1-D convolution of (H, W) along `axis` via lax.conv (TPU-fast;
+    deep dynamic-slice add chains defeat XLA fusion)."""
+    k = taps.shape[0]
+    if axis == 0:
+        rhs = taps.reshape(1, 1, k, 1)
+    else:
+        rhs = taps.reshape(1, 1, 1, k)
+    out = jax.lax.conv_general_dilated(
+        x[None, None], rhs.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
 def gaussian_blur7(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 7x7 Gaussian on (H, W) float32, reflect-101 borders."""
-    p = 3
-    x = _reflect_pad2d(img, p)
-    # Horizontal then vertical 1-D convolutions via shifted adds (7 taps each
-    # — XLA fuses these into a couple of vector passes).
-    H, W = img.shape
-    acc = jnp.zeros((H + 2 * p, W), jnp.float32)
-    for i in range(7):
-        acc = acc + _GAUSS7[i] * jax.lax.dynamic_slice(x, (0, i), (H + 2 * p, W))
-    out = jnp.zeros((H, W), jnp.float32)
-    for i in range(7):
-        out = out + _GAUSS7[i] * jax.lax.dynamic_slice(acc, (i, 0), (H, W))
-    return out
+    x = _reflect_pad2d(img.astype(jnp.float32), 3)
+    # Conv flips the kernel; the taps are symmetric so correlation == conv.
+    return _conv1d(_conv1d(x, _GAUSS7, 1), _GAUSS7, 0)
+
+
+_SMOOTH131 = jnp.array([1.0, 2.0, 1.0], jnp.float32)
+_DERIV101 = jnp.array([1.0, 0.0, -1.0], jnp.float32)  # conv-flipped [-1,0,1]
 
 
 def sobel3(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """3x3 Sobel dx, dy on (H, W) float32, reflect-101 borders."""
-    p = 1
-    x = _reflect_pad2d(img, p)
-    H, W = img.shape
-
-    def sh(dy, dx):
-        return jax.lax.dynamic_slice(x, (dy + 1, dx + 1), (H, W))
-
-    # Smoothing [1,2,1] along one axis, derivative [-1,0,1] along the other.
-    dx = (
-        (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
-        - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))
-    )
-    dy = (
-        (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
-        - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
-    )
+    x = _reflect_pad2d(img.astype(jnp.float32), 1)
+    dx = _conv1d(_conv1d(x, _DERIV101, 1), _SMOOTH131, 0)
+    dy = _conv1d(_conv1d(x, _SMOOTH131, 1), _DERIV101, 0)
     return dx, dy
 
 
@@ -114,20 +111,21 @@ def quantize_color_gradient(
     weak2 = weak_threshold * weak_threshold
     strong_px = mag2 > weak2
 
-    # 3x3 vote: one-hot planes box-filtered; all 9 neighbours vote with their
-    # unfiltered quantized bin (OpenCV hysteresisGradient).
-    onehot = (bin8[None] == jnp.arange(8, dtype=jnp.int32)[:, None, None]).astype(jnp.int32)
+    # 3x3 vote: one-hot planes box-filtered (one depthwise conv); all 9
+    # neighbours vote with their unfiltered quantized bin (OpenCV
+    # hysteresisGradient).
+    onehot = (bin8[None] == jnp.arange(8, dtype=jnp.int32)[:, None, None]).astype(
+        jnp.float32
+    )
     H, W = bin8.shape
-    planes = jnp.pad(onehot, [(0, 0), (1, 1), (1, 1)])
-
-    def box(pl):
-        s = jnp.zeros((H, W), jnp.int32)
-        for oy in range(3):
-            for ox in range(3):
-                s = s + jax.lax.dynamic_slice(pl, (oy, ox), (H, W))
-        return s
-
-    votes = jax.vmap(box)(planes)  # (8, H, W)
+    votes = jax.lax.conv_general_dilated(
+        onehot[None],
+        jnp.ones((8, 1, 3, 3), jnp.float32),
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=8,
+    )[0].astype(jnp.int32)  # (8, H, W)
     max_votes = jnp.max(votes, axis=0)
     win = jnp.argmax(votes, axis=0)
     ok = strong_px & (max_votes >= 5)
@@ -214,19 +212,14 @@ def response_maps(spread_quant: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(maps, axis=0)
 
 
+_PYR5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown: 5x5 Gaussian ([1,4,6,4,1]/16 separable) then decimate 2x.
 
     Works on (H, W) float32; reflect-101 borders.
     """
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
-    p = 2
-    x = _reflect_pad2d(img.astype(jnp.float32), p)
-    H, W = img.shape
-    acc = jnp.zeros((H + 2 * p, W), jnp.float32)
-    for i in range(5):
-        acc = acc + k[i] * jax.lax.dynamic_slice(x, (0, i), (H + 2 * p, W))
-    out = jnp.zeros((H, W), jnp.float32)
-    for i in range(5):
-        out = out + k[i] * jax.lax.dynamic_slice(acc, (i, 0), (H, W))
+    x = _reflect_pad2d(img.astype(jnp.float32), 2)
+    out = _conv1d(_conv1d(x, _PYR5, 1), _PYR5, 0)
     return out[::2, ::2]

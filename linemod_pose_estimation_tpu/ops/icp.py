@@ -99,6 +99,41 @@ def icp(
     return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
 
 
+def icp_schedule(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    stages: tuple[tuple[int, float, float, float], ...],
+) -> ICPResult:
+    """Run a multi-pass ICP schedule; each stage is (max_iterations,
+    max_corr_dist, rejection_dist, transform_epsilon) and starts from the
+    previous stage's alignment (pose accumulates as tf_n @ ... @ tf_1).
+
+    Generalizes the reference's two-pass icpPoseRefine and the three-pass
+    icpNonLinearPoseRefine (rgbdDetector.cpp:1263-1412, 1508-1600; the
+    nonlinear variant's LM inner loop is replaced by our closed-form Kabsch
+    updates, which converge on the same point-to-point objective).
+    """
+    T_acc = jnp.eye(4)
+    pts = model_pts
+    fit = jnp.array(jnp.inf)
+    ninl = jnp.array(0, jnp.int32)
+    iters = jnp.array(0, jnp.int32)
+    conv = jnp.array(False)
+    for max_it, corr, rej, eps in stages:
+        r = icp(
+            pts, model_valid, scene_pts, scene_valid,
+            max_iterations=max_it, max_corr_dist=corr,
+            rejection_dist=rej, transform_epsilon=eps,
+        )
+        pts = pts @ r.transform[:3, :3].T + r.transform[:3, 3]
+        T_acc = r.transform @ T_acc
+        fit, ninl, conv = r.fitness, r.num_inliers, conv | r.converged
+        iters = iters + r.iterations
+    return ICPResult(T_acc, fit, ninl, iters, conv)
+
+
 def icp_two_stage(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,

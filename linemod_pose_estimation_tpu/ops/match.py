@@ -285,6 +285,54 @@ def refine_candidates_slices(
     )
 
 
+@partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0"))
+def refine_candidates_pallas(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int,
+    fine_T: int = 5,
+    window: int = 24,
+) -> Matches:
+    """Refinement through the Pallas DMA+roll kernel
+    (ops.pallas_kernels.refine_scores_pallas; TPU-only — use
+    refine_candidates_slices on CPU).  Same results as the XLA paths."""
+    from .pallas_kernels import refine_scores_pallas
+
+    _, H, W = R0.shape
+    K = cand.template_id.shape[0]
+    anchor_y = jnp.clip(cand.cell_y * coarse_T * 2 - (fine_T - 1), 0, H - 1)
+    anchor_x = jnp.clip(cand.cell_x * coarse_T * 2 - (fine_T - 1), 0, W - 1)
+    t = cand.template_id
+    offs = feats0.offsets[t]
+    cnt = feats0.count[t]
+    # Padded slots: point them at the patch corner; the kernel masks f >= nf.
+    scores = refine_scores_pallas(
+        R0,
+        feats0.oris[t],
+        jnp.clip(offs[..., 0], 0, E0),
+        jnp.clip(offs[..., 1], 0, E0),
+        cnt,
+        anchor_y,
+        anchor_x,
+        E0=E0,
+        window=window,
+    )
+    flat = scores.reshape(K, -1)
+    rev = flat[:, ::-1]
+    best = flat.shape[1] - 1 - jnp.argmax(rev, axis=1)
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    by = best // window
+    bx = best % window
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))
+    ok = cand.valid & (sim >= threshold)
+    return Matches(
+        template_id=t, x=anchor_x + bx, y=anchor_y + by, similarity=sim, valid=ok
+    )
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def select_candidates_approx(
     raw: jnp.ndarray,
@@ -519,7 +567,7 @@ class FramePyramid(NamedTuple):
     norm_r1: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("T0", "T1", "use_depth", "weak_threshold"))
+@partial(jax.jit, static_argnames=("T0", "T1", "use_depth", "weak_threshold", "use_pallas"))
 def preprocess_frame(
     rgb: jnp.ndarray,
     depth_mm: jnp.ndarray | None,
@@ -527,27 +575,37 @@ def preprocess_frame(
     T1: int = 8,
     use_depth: bool = False,
     weak_threshold: float = 10.0,
+    use_pallas: bool = False,
 ) -> FramePyramid:
     """RGB (H, W, 3) u8 [+ depth (H, W) mm] -> response-map pyramid.
 
     Level 1 inputs are pyrDown'd per channel (cv::linemod builds the source
     pyramid the same way); depth is decimated 2x (OpenCV subsamples depth).
+    `use_pallas` routes spreading+response through the fused VMEM kernel
+    (ops.pallas_kernels.spread_response, TPU only).
     """
+    if use_pallas:
+        from .pallas_kernels import spread_response
+
+        respond = lambda q, T: spread_response(q, T)
+    else:
+        respond = lambda q, T: F.response_maps(F.orientation_spread(q, T))
+
     q0, _ = F.quantize_color_gradient(rgb, weak_threshold)
-    g_r0 = F.response_maps(F.orientation_spread(q0, T0))
+    g_r0 = respond(q0, T0)
 
     rgb1 = jnp.stack(
         [F.pyr_down(rgb[..., c].astype(jnp.float32)) for c in range(rgb.shape[-1])], axis=-1
     )
     q1, _ = F.quantize_color_gradient(rgb1, weak_threshold)
-    g_r1 = F.response_maps(F.orientation_spread(q1, T1))
+    g_r1 = respond(q1, T1)
 
     if use_depth and depth_mm is not None:
         n0 = F.quantize_depth_normal(depth_mm)
-        n_r0 = F.response_maps(F.orientation_spread(n0, T0))
+        n_r0 = respond(n0, T0)
         d1 = depth_mm[::2, ::2]
         n1 = F.quantize_depth_normal(d1)
-        n_r1 = F.response_maps(F.orientation_spread(n1, T1))
+        n_r1 = respond(n1, T1)
     else:
         n_r0 = jnp.zeros_like(g_r0)
         n_r1 = jnp.zeros_like(g_r1)

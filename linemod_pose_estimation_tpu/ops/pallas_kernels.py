@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for the per-frame hot ops.
+
+Two ops dominate the non-GEMM frame time (profiled on v5e):
+
+1. spread_response: quantized bitmask -> TxT orientation spreading -> the
+   8 response maps.  XLA runs this as ~90 separate HBM passes (~20 ms);
+   here it is ONE kernel with the image resident in VMEM — every shifted
+   OR and LUT select reads on-chip.
+
+2. refine_score: per-candidate level-0 scoring over a window x window
+   region.  The XLA formulation issues 16k tiny gathers (~23 ms); here
+   each candidate's response patch is DMA'd into VMEM once and the 63
+   feature slices accumulate on the VPU.
+
+Both have jittable XLA twins in ops.match / ops.features that serve as the
+bit-exact reference implementations (equality-tested; the twins also run in
+Pallas interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .features import RESPONSE_ADJACENT, RESPONSE_EXACT
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused orientation spread + response maps
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _spread_response_kernel(T: int, TH: int, W: int, halo: int):
+    def kernel(q_hbm, out_ref, q_tile, sem):
+        i = pl.program_id(0)
+        # DMA this row stripe + halo from HBM.  Stripes overlap by T-1 rows
+        # (BlockSpec index maps can't express overlap); offsets/sizes are
+        # (8, 128)-aligned for Mosaic's memref slicing.
+        dma = pltpu.make_async_copy(q_hbm.at[pl.ds(i * TH, halo), :], q_tile, sem)
+        dma.start()
+        dma.wait()
+
+        s = jnp.zeros((TH, W), jnp.int32)
+        for r in range(T):
+            for c in range(T):
+                s = s | q_tile[r : r + TH, c : c + W]
+        for o in range(8):
+            exact = 1 << o
+            adj = (1 << ((o - 1) % 8)) | (1 << ((o + 1) % 8))
+            resp = jnp.where(
+                (s & exact) != 0,
+                RESPONSE_EXACT,
+                jnp.where((s & adj) != 0, RESPONSE_ADJACENT, 0),
+            )
+            out_ref[o, :, :] = resp.astype(jnp.int8)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("T", "tile_h", "interpret"))
+def spread_response(
+    quant: jnp.ndarray, T: int, tile_h: int = 64, interpret: bool = False
+) -> jnp.ndarray:
+    """(H, W) uint8 quantized bitmask -> (8, H, W) uint8 response maps.
+
+    Fuses ops.features.orientation_spread + response_maps in one pass:
+    a grid over row stripes, each DMA'd (with its T-1-row halo) into VMEM,
+    all TxT shifted ORs and the orientation LUT evaluated on-chip.
+    """
+    H, W = quant.shape
+    grid_h = -(-H // tile_h)
+    halo = _round_up(tile_h + T - 1, 8)
+    Hp = (grid_h - 1) * tile_h + halo
+    Wp = _round_up(W + T - 1, 128)
+    qp = jnp.pad(quant, [(0, Hp - H), (0, Wp - W)]).astype(jnp.int32)
+    out = pl.pallas_call(
+        _spread_response_kernel(T, tile_h, W, halo),
+        out_shape=jax.ShapeDtypeStruct((8, grid_h * tile_h, W), jnp.int8),
+        grid=(grid_h,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (8, tile_h, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((halo, Wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(qp)
+    return out[:, :H, :].astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: per-candidate refinement scoring
+# ---------------------------------------------------------------------------
+
+
+def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int):
+    def kernel(oris_ref, dys_ref, dxs_ref, nf_ref, ay8_ref, ax128_ref,
+               R_hbm, out_ref, patch, sem):
+        k = pl.program_id(0)
+        # (8, 128)-aligned patch DMA; the sub-tile residual is folded into
+        # the per-feature offsets on the host side.  multiple_of lets Mosaic
+        # prove the tiled-memref slice is aligned.
+        ay = pl.multiple_of(ay8_ref[k], 8)
+        ax = pl.multiple_of(ax128_ref[k], 128)
+        dma = pltpu.make_async_copy(
+            R_hbm.at[:, pl.ds(ay, PR), pl.ds(ax, PC)], patch, sem
+        )
+        dma.start()
+        dma.wait()
+
+        nf = nf_ref[k]
+        acc = jnp.zeros((window, window), jnp.int32)
+        for f in range(Fmax):
+            o = oris_ref[k, f]
+            dy = dys_ref[k, f]
+            dx = dxs_ref[k, f]
+            plane = patch[o]
+            # Dynamic offsets via circular rolls (lane-dim dynamic slicing
+            # is not supported by Mosaic; rolls are), then a static corner.
+            rolled = pltpu.roll(pltpu.roll(plane, -dy, 0), -dx, 1)
+            sl = rolled[:window, :window].astype(jnp.int32)
+            acc = acc + jnp.where(f < nf, sl, 0)
+        out_ref[0, :, :] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("window", "E0", "interpret"))
+def refine_scores_pallas(
+    R0: jnp.ndarray,
+    cand_oris: jnp.ndarray,  # (K, Fmax) int32
+    cand_dys: jnp.ndarray,  # (K, Fmax) int32 (>= 0)
+    cand_dxs: jnp.ndarray,  # (K, Fmax)
+    cand_nf: jnp.ndarray,  # (K,) int32
+    anchor_y: jnp.ndarray,  # (K,)
+    anchor_x: jnp.ndarray,  # (K,)
+    E0: int,
+    window: int = 24,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raw refinement scores (K, window, window) int32.
+
+    R0: (C, H, W) uint8 response maps.  The caller supplies non-negative
+    anchors/offsets; reads past the image edge land in the zero padding.
+    """
+    C, H, W = R0.shape
+    K, Fmax = cand_oris.shape
+    # Patch big enough for the 8/128 alignment residual + offsets + window.
+    PR = _round_up(8 + E0 + window, 8)
+    PC = _round_up(128 + E0 + window, 128)
+    # int32 patches: Mosaic's dynamic rotate (used for the sub-tile offset)
+    # only supports 32-bit lanes.
+    Rp = jnp.pad(R0, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int32)
+
+    # Align the DMA base; fold residuals into the feature offsets.
+    ay8 = (anchor_y // 8) * 8
+    ax128 = (anchor_x // 128) * 128
+    dys = cand_dys + (anchor_y - ay8)[:, None]
+    dxs = cand_dxs + (anchor_x - ax128)[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(K,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, window, window), lambda k, *_: (k, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, PR, PC), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _refine_kernel(Fmax, C, PR, PC, window),
+        out_shape=jax.ShapeDtypeStruct((K, window, window), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cand_oris, dys, dxs, cand_nf, ay8, ax128, Rp)
+    return out
