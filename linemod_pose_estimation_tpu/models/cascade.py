@@ -65,6 +65,11 @@ class CascadeParams:
     # Pose canonicalization: "x_front" (service.cpp:562-583),
     # "z_down" (carmine:487-495) or "none"
     canonicalize: str = "x_front"
+    # C9 position strategy: "surface_centroid" (active in the reference,
+    # rgbdDetector.cpp:855), "roi_center" (cpp:1027-1060) or
+    # "distance_offset" (cpp:984-1025)
+    position_strategy: str = "surface_centroid"
+    distance_offset_uses_hole: bool = False  # is_center_hole handling
     # Ensenso geometry (service.cpp:212, 324-326)
     bias_x: int = 0
     # Static capacities
@@ -376,13 +381,46 @@ def rough_pose_and_refine(
     # Initial pose: averaged R, z = averaged Ori_dist (cpp:788-790).
     pose0 = geo.make_transform(R_avg, jnp.array([0.0, 0.0, 1.0]) * Trans_aver)
 
-    # Surface-centroid pairing (cpp:1062-1131): translate model so the
-    # surface point nearest its centroid lands on the scene's.
-    sc = pcu.masked_centroid(scene_pts, scene_valid)
-    mc = pcu.masked_centroid(model_pts, model_valid)
-    s_surf = pcu.nearest_point(scene_pts, scene_valid, sc)
-    m_surf = pcu.nearest_point(model_pts, model_valid, mc)
-    tshift = s_surf - m_surf
+    # C9 position strategy.
+    if params.position_strategy == "roi_center":
+        # Scene point at the detection ROI center vs model cloud center
+        # (getPositionByROICenter, cpp:1027-1060; the reference's NaN-walk
+        # along +x becomes nearest-finite-to-center).
+        cy = jnp.clip(Y + out.rect[3] // 2, 0, H - 1)
+        cx = jnp.clip(X + params.bias_x + out.rect[2] // 2, 0, W - 1)
+        scene_pt = cloud[cy, cx]
+        scene_pt = jnp.where(
+            jnp.all(jnp.isfinite(scene_pt)),
+            scene_pt,
+            pcu.nearest_point(scene_pts, scene_valid, pcu.masked_centroid(scene_pts, scene_valid)),
+        )
+        model_pt = pcu.nearest_point(
+            model_pts, model_valid, jnp.array([0.0, 0.0, 1.0]) * Trans_aver
+        )
+        tshift = scene_pt - model_pt
+    elif params.position_strategy == "distance_offset":
+        # Bbox-center scene point (centroid fallback), z += D unless the
+        # model has a center hole (getPositionByDistanceOffset, cpp:984-1025).
+        cy = jnp.clip(Y + out.rect[3] // 2, 0, H - 1)
+        cx = jnp.clip(X + params.bias_x + out.rect[2] // 2, 0, W - 1)
+        scene_pt = cloud[cy, cx]
+        scene_pt = jnp.where(
+            jnp.all(jnp.isfinite(scene_pt)),
+            scene_pt,
+            pcu.masked_centroid(scene_pts, scene_valid),
+        )
+        if not params.distance_offset_uses_hole:
+            scene_pt = scene_pt.at[2].add(D_aver)
+        tshift = scene_pt - jnp.array([0.0, 0.0, 1.0]) * Trans_aver
+    else:
+        # Surface-centroid pairing (cpp:1062-1131, the active strategy):
+        # translate model so the surface point nearest its centroid lands on
+        # the scene's.
+        sc = pcu.masked_centroid(scene_pts, scene_valid)
+        mc = pcu.masked_centroid(model_pts, model_valid)
+        s_surf = pcu.nearest_point(scene_pts, scene_valid, sc)
+        m_surf = pcu.nearest_point(model_pts, model_valid, mc)
+        tshift = s_surf - m_surf
     pose0 = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + tshift)
     model_pts_t = model_pts + tshift[None, :]
 

@@ -1,0 +1,144 @@
+"""Batched multi-camera serving: the reference's "one ROS callback at a
+time" becomes data-parallel frame batches (SURVEY.md §2.3 DP analog).
+
+BatchedMatcher runs B frames through the match engine per step:
+preprocess vmapped over the batch, ONE coarse GEMM over the stacked patch
+matrices (better MXU utilization than per-frame M=1200 rows), vmapped
+candidate selection, per-frame Pallas refinement (async-dispatched, ~25 us
+overhead each).
+
+Also the carmine node's extras (SURVEY.md C17):
+- look_at_point: cloud point at a detection's bbox center with
+  nearest-valid fallback (get_look_at_point, carmine:654-671).
+- template_refinement: re-render at the estimated pose and re-run ICP
+  (templateRefinement, carmine:555-652).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import match as M
+from ..utils import pointcloud as pcu
+from ..ops.icp import icp_two_stage
+
+
+class BatchedMatcher:
+    def __init__(self, detector, class_id: str, threshold: float, batch: int,
+                 top_k: int = 256):
+        p = detector.params
+        bank = detector.bank(class_id)
+        self.T0, self.T1 = p.t_pyramid
+        self.threshold = threshold
+        self.top_k = top_k
+        self.batch = batch
+        self.W1 = bank.gemm_weights(1)
+        self.Kc1 = bank.max_cell_extent(1)
+        self.E0 = bank.extent(0)
+        self.feats1 = bank.merged_features(1)
+        self.feats0 = bank.merged_features(0)
+        self.use_depth = p.use_depth_normal
+        self.weak = p.color.weak_threshold
+        self._build()
+
+    def _build(self):
+        T0, T1, Kc1, E0 = self.T0, self.T1, self.Kc1, self.E0
+        thr, top_k = self.threshold, self.top_k
+
+        self._pre = jax.jit(
+            jax.vmap(
+                lambda rgb: M.preprocess_frame(
+                    rgb, None, T0=T0, T1=T1, use_depth=False, weak_threshold=self.weak
+                )
+            )
+        )
+        self._coarse = jax.jit(
+            jax.vmap(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc1), in_axes=(0, None))
+        )
+
+        def _sel(raw, f1):
+            Hc, Wc = raw.shape[1:]
+            vpos = M.position_validity(f1.size, T1, Hc, Wc)
+            return M.select_candidates_approx(raw, f1.count, vpos, thr - 5.0, top_k)
+
+        self._sel = jax.jit(jax.vmap(_sel, in_axes=(0, None)))
+        refine = (
+            M.refine_candidates_slices
+            if jax.default_backend() == "cpu"
+            else M.refine_candidates_pallas
+        )
+        self._refine = jax.jit(
+            lambda R0, f0, cand: refine(R0, f0, cand, T1, thr, E0=E0, fine_T=T0)
+        )
+
+    def match_batch(self, rgbs: jnp.ndarray) -> list[M.Matches]:
+        """(B, H, W, 3) uint8 -> per-frame Matches."""
+        pyr = self._pre(rgbs)
+        raw = self._coarse(pyr.grad_r1, self.W1)
+        cands = self._sel(raw, self.feats1)
+        out = []
+        B = rgbs.shape[0]
+        for b in range(B):
+            cand_b = M.CoarseMatches(*(a[b] for a in cands))
+            out.append(self._refine(pyr.grad_r0[b], self.feats0, cand_b))
+        return out
+
+
+def look_at_point(cloud: jnp.ndarray, rect_xywh, cap: int = 256) -> jnp.ndarray:
+    """3-D gaze target at a detection's bbox center (carmine
+    get_look_at_point semantics: NaN center -> walk to a valid neighbour;
+    here: nearest finite point in the bbox)."""
+    H, W = cloud.shape[:2]
+    x, y, w, h = (jnp.asarray(v) for v in rect_xywh)
+    cy = jnp.clip(y + h // 2, 0, H - 1)
+    cx = jnp.clip(x + w // 2, 0, W - 1)
+    center = cloud[cy, cx]
+    pts, valid = pcu.extract_rect_points(cloud, jnp.stack([x, y, w, h]), cap)
+    fallback = pcu.nearest_point(pts, valid, pcu.masked_centroid(pts, valid))
+    return jnp.where(jnp.all(jnp.isfinite(center)), center, fallback)
+
+
+def template_refinement(
+    pose: jnp.ndarray,
+    cloud: jnp.ndarray,
+    rect_xywh,
+    triangles: jnp.ndarray,
+    K_render: jnp.ndarray,
+    render_wh: tuple[int, int],
+    model_cap: int = 1024,
+    scene_cap: int = 1024,
+    bias_x: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One re-render + re-ICP round at an estimated pose (carmine
+    templateRefinement): returns (refined pose, icp fitness)."""
+    from .renderer import render as render_fn
+    from .cascade import _transplanted_scene_mask, _compact_points
+
+    rw, rh = render_wh
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    T_bank = R.T @ t  # render() camera parameterization: X_cam = R(X + T)
+    out = render_fn(triangles, R.astype(jnp.float32), T_bank.astype(jnp.float32),
+                    K_render, rw, rh)
+    mcloud = pcu.depth_to_cloud(out.depth_mm / 1000.0, K_render)
+    msel = (out.mask > 0) & jnp.all(jnp.isfinite(mcloud), axis=-1)
+    model_pts, model_valid = _compact_points(mcloud.reshape(-1, 3), msel.reshape(-1), model_cap)
+    # Recenter the rendered model at the pose translation (the render puts
+    # the object along the optical axis at |T|).
+    mc = pcu.masked_centroid(model_pts, model_valid)
+    model_pts = model_pts - mc[None, :] + t[None, :]
+
+    H, W = cloud.shape[:2]
+    x, y, w, h = rect_xywh
+    smask = _transplanted_scene_mask(
+        out.mask, out.rect, jnp.asarray(x + bias_x), jnp.asarray(y), H, W
+    )
+    ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
+    scene_pts, scene_valid = _compact_points(cloud.reshape(-1, 3), ssel.reshape(-1), scene_cap)
+
+    res = icp_two_stage(model_pts, model_valid, scene_pts, scene_valid)
+    return res.transform @ pose, res.fitness

@@ -1,0 +1,63 @@
+"""Batched serving + carmine extras."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linemod_pose_estimation_tpu.models.serving import look_at_point
+
+
+def test_look_at_point_center_and_fallback():
+    cloud = np.full((40, 60, 3), np.nan, np.float32)
+    cloud[10:30, 20:50] = [0.1, 0.2, 0.6]
+    # bbox centered in valid region -> exact center point.
+    p = np.asarray(look_at_point(jnp.asarray(cloud), (20, 10, 30, 20)))
+    np.testing.assert_allclose(p, [0.1, 0.2, 0.6], atol=1e-6)
+    # bbox whose center is NaN but containing valid points -> fallback point.
+    cloud2 = np.full((40, 60, 3), np.nan, np.float32)
+    cloud2[10:12, 20:22] = [0.3, 0.1, 0.5]
+    p2 = np.asarray(look_at_point(jnp.asarray(cloud2), (18, 8, 10, 10)))
+    np.testing.assert_allclose(p2, [0.3, 0.1, 0.5], atol=1e-6)
+
+
+def test_graft_entry_compiles_single_chip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_matcher_consistent_with_single(rng):
+    """BatchedMatcher must agree with per-frame match on identical frames."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.serving import BatchedMatcher
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    patch, mask = make_object_patch(rng)
+    src = plant((120, 160, 3), patch, (30, 50))
+    src_mask = plant((120, 160), mask, (30, 50))
+    det = Detector(DetectorParams(), engine="gather")
+    assert det.add_template(src, src_mask, "obj") == 0
+
+    bm = BatchedMatcher(det, "obj", threshold=90.0, batch=2, top_k=16)
+    frames = np.stack([src, plant((120, 160, 3), patch, (44, 62))])
+    res = bm.match_batch(jnp.asarray(frames))
+    assert len(res) == 2
+    for b, expect in enumerate([(50, 30), (62, 44)]):
+        m = res[b]
+        ok = np.asarray(m.valid)
+        assert ok.any()
+        sims = np.asarray(m.similarity)[ok]
+        assert sims.max() >= 99.0
