@@ -215,12 +215,16 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
   std::vector<int32_t> entries;   // pyramid_id, w, h, level, modality, nf
   std::vector<int32_t> features;  // y, x, ori
 
-  // Walk template_pyramids entries in order.
+  // Walk template_pyramids entries in order.  find_key returns the position
+  // just AFTER "template_id:", so `next` is exactly where the following
+  // iteration must resume parsing — assigning it to `idp` (not re-searching
+  // from it, which would skip one template per iteration) visits every
+  // pyramid exactly once.
   size_t p = find_key(t, "template_pyramids", 0);
   int64_t n_entries = 0;
-  while (p != std::string::npos) {
-    size_t idp = find_key(t, "template_id", p);
-    if (idp == std::string::npos) break;
+  size_t idp = (p == std::string::npos) ? std::string::npos
+                                        : find_key(t, "template_id", p);
+  while (idp != std::string::npos) {
     int32_t pid = static_cast<int32_t>(parse_scalar(t, idp));
     // Entries of this pyramid run until the next template_id (or EOF).
     size_t next = find_key(t, "template_id", idp);
@@ -246,8 +250,7 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
       ++n_entries;
       ep = fp;
     }
-    p = next;
-    if (next == std::string::npos) break;
+    idp = next;
   }
 
   // Header bits.
