@@ -219,6 +219,9 @@ class ClusterPose(NamedTuple):
     icp_fitness: jnp.ndarray
     hv_rate: jnp.ndarray
     valid: jnp.ndarray  # bool
+    rough_pose: jnp.ndarray  # (4, 4) pre-ICP pose (C8/C9 output) — the
+    #   reference shows this stage in its PCL viewers (rgbdDetector.cpp:
+    #   1299-1312); kept for per-stage observability (C23)
 
 
 def _orientation_cluster_average(
@@ -481,4 +484,5 @@ def rough_pose_and_refine(
     return ClusterPose(
         pose=pose, rect=rect, score=cluster_score,
         icp_fitness=icp_res.fitness, hv_rate=hv_rate, valid=ok,
+        rough_pose=pose0,
     )

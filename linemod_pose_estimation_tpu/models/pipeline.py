@@ -38,6 +38,22 @@ class Detection:
     score: float
     icp_fitness: float
     hv_rate: float
+    rough_pose: np.ndarray | None = None  # pre-ICP pose (C8/C9)
+
+
+@dataclass
+class StageOutputs:
+    """Per-stage intermediates of one detect() call — the TPU-native analog
+    of the reference's stage-by-stage imshow/PCL-viewer culture (C23:
+    service.cpp:362-466, rgbdDetector.cpp:1299-1312).  All arrays are
+    fixed-capacity device outputs pulled to host; mask by the valid fields.
+    """
+
+    matches: M.Matches  # raw LINEMOD matches (post-refinement)
+    clusters: "CC.ClusterSet"  # RCD vote cells after grouping + filtering
+    nms_keep: np.ndarray  # (C,) bool — IoU-NMS survivors among clusters
+    cluster_order: np.ndarray  # (max_clusters,) cluster indices by score
+    poses: "CC.ClusterPose"  # per-cluster rough + refined poses, HV rates
 
 
 class DetectionPipeline:
@@ -131,7 +147,7 @@ class DetectionPipeline:
                     cloud=cloud, triangles=tris, K_render=K_render,
                 )
             )(mq, mT, mD, mOd, mx, my, mval, c_valid, c_score)
-            return poses
+            return poses, clusters, keep, order
 
         return run
 
@@ -143,15 +159,22 @@ class DetectionPipeline:
         cloud: np.ndarray,
         threshold: float = 91.0,
         depth_mm: np.ndarray | None = None,
-    ) -> list[Detection]:
+        return_stages: bool = False,
+    ):
         """Run the full cascade on one frame; returns verified detections
         sorted by score (empty list = 'no object', the service's identity-
-        pose case, service.cpp:1832-1846)."""
+        pose case, service.cpp:1832-1846).
+
+        With return_stages=True, returns (detections, StageOutputs) so every
+        stage is inspectable, mirroring the reference's per-stage
+        visualization hooks (C23)."""
         matches = self.detector.match_raw(
             rgb, threshold, depth_mm=depth_mm, class_ids=[self.class_id],
             top_k=self.params.max_matches,
         )[self.class_id]
-        poses = self._pose_stage(matches, jnp.asarray(cloud, jnp.float32))
+        poses, clusters, keep, order = self._pose_stage(
+            matches, jnp.asarray(cloud, jnp.float32)
+        )
 
         out: list[Detection] = []
         valid = np.asarray(poses.valid)
@@ -163,10 +186,43 @@ class DetectionPipeline:
                     score=float(poses.score[i]),
                     icp_fitness=float(poses.icp_fitness[i]),
                     hv_rate=float(poses.hv_rate[i]),
+                    rough_pose=np.asarray(poses.rough_pose[i]),
                 )
             )
         out.sort(key=lambda d: -d.score)
+        if return_stages:
+            stages = StageOutputs(
+                matches=matches,
+                clusters=clusters,
+                nms_keep=np.asarray(keep),
+                cluster_order=np.asarray(order),
+                poses=poses,
+            )
+            return out, stages
         return out
+
+    def draw_response(
+        self, rgb: np.ndarray, matches: M.Matches, max_draw: int = 8
+    ) -> np.ndarray:
+        """Feature-dot overlay of matched templates (drawResponse,
+        service.cpp:723-748): each valid match's level-0 features are
+        painted at (match.x + fx, match.y + fy), colored by template slot.
+        """
+        from ..utils.visualization import draw_features
+
+        palette = [(0, 255, 0), (255, 0, 0), (0, 0, 255), (255, 255, 0),
+                   (255, 0, 255), (0, 255, 255), (255, 128, 0), (128, 0, 255)]
+        img = np.array(rgb, copy=True)
+        feats0 = self.detector.bank(self.class_id).merged_features(0)
+        ok = np.nonzero(np.asarray(matches.valid))[0][:max_draw]
+        for slot, i in enumerate(ok):
+            t = int(matches.template_id[i])
+            offs = np.asarray(feats0.offsets[t])[np.asarray(feats0.live[t])]
+            img = draw_features(
+                img, offs, (int(matches.x[i]), int(matches.y[i])),
+                palette[slot % len(palette)],
+            )
+        return img
 
     @classmethod
     def from_files(

@@ -48,14 +48,21 @@ class BatchedMatcher:
     def _build(self):
         T0, T1, Kc1, E0 = self.T0, self.T1, self.Kc1, self.E0
         thr, top_k = self.threshold, self.top_k
+        use_depth = self.use_depth
 
-        self._pre = jax.jit(
-            jax.vmap(
-                lambda rgb: M.preprocess_frame(
-                    rgb, None, T0=T0, T1=T1, use_depth=False, weak_threshold=self.weak
-                )
+        def _pre(rgb, depth_mm):
+            pyr = M.preprocess_frame(
+                rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth,
+                weak_threshold=self.weak,
             )
-        )
+            if use_depth:
+                R0 = jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0)
+                R1 = jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0)
+            else:
+                R0, R1 = pyr.grad_r0, pyr.grad_r1
+            return R0, R1
+
+        self._pre = jax.jit(jax.vmap(_pre))
         self._coarse = jax.jit(
             jax.vmap(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc1), in_axes=(0, None))
         )
@@ -66,26 +73,42 @@ class BatchedMatcher:
             return M.select_candidates_approx(raw, f1.count, vpos, thr - 5.0, top_k)
 
         self._sel = jax.jit(jax.vmap(_sel, in_axes=(0, None)))
-        refine = (
-            M.refine_candidates_slices
-            if jax.default_backend() == "cpu"
-            else M.refine_candidates_pallas
-        )
-        self._refine = jax.jit(
-            lambda R0, f0, cand: refine(R0, f0, cand, T1, thr, E0=E0, fine_T=T0)
-        )
+        if jax.default_backend() == "cpu":
+            self._refine = jax.jit(
+                jax.vmap(
+                    lambda R0, cand, f0: M.refine_candidates_slices(
+                        R0, f0, cand, T1, thr, E0=E0, fine_T=T0
+                    ),
+                    in_axes=(0, 0, None),
+                )
+            )
+        else:
+            # ONE Pallas dispatch over all B*top_k candidates.
+            self._refine = jax.jit(
+                lambda R0, cand, f0: M.refine_candidates_pallas_batched(
+                    R0, f0, cand, T1, thr, E0=E0, fine_T=T0
+                )
+            )
 
-    def match_batch(self, rgbs: jnp.ndarray) -> list[M.Matches]:
-        """(B, H, W, 3) uint8 -> per-frame Matches."""
-        pyr = self._pre(rgbs)
-        raw = self._coarse(pyr.grad_r1, self.W1)
+    def match_batch(
+        self, rgbs: jnp.ndarray, depths_mm: jnp.ndarray | None = None
+    ) -> M.Matches:
+        """(B, H, W, 3) uint8 [+ (B, H, W) depth mm] -> batched Matches with
+        (B, top_k) arrays (device-side; mask by .valid)."""
+        if self.use_depth:
+            R0, R1 = self._pre(rgbs, depths_mm)
+        else:
+            R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
+        raw = self._coarse(R1, self.W1)
         cands = self._sel(raw, self.feats1)
-        out = []
-        B = rgbs.shape[0]
-        for b in range(B):
-            cand_b = M.CoarseMatches(*(a[b] for a in cands))
-            out.append(self._refine(pyr.grad_r0[b], self.feats0, cand_b))
-        return out
+        return self._refine(R0, cands, self.feats0)
+
+    def match_batch_list(
+        self, rgbs: jnp.ndarray, depths_mm: jnp.ndarray | None = None
+    ) -> list[M.Matches]:
+        """match_batch, unstacked to per-frame Matches records."""
+        m = self.match_batch(rgbs, depths_mm)
+        return [M.Matches(*(a[b] for a in m)) for b in range(rgbs.shape[0])]
 
 
 def look_at_point(cloud: jnp.ndarray, rect_xywh, cap: int = 256) -> jnp.ndarray:

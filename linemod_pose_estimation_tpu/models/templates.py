@@ -66,32 +66,41 @@ class TemplateFeatures:
 
 
 def _select_scattered(candidates: np.ndarray, scores: np.ndarray, num: int) -> np.ndarray:
-    """OpenCV selectScatteredFeatures: iterate candidates in score order,
-    keep those >= `distance` from all kept; shrink distance until `num`
-    features are collected (or the pool is exhausted)."""
+    """OpenCV selectScatteredFeatures: walk candidates in score order, keep
+    those >= `distance` from every ALREADY-KEPT feature; when the scan wraps,
+    relax distance by 1 and continue — accepted features persist across
+    relaxations (they are never cleared), matching OpenCV's loop structure.
+    """
     order = np.argsort(-scores, kind="stable")
     cand = candidates[order]
-    if cand.shape[0] == 0:
+    n = cand.shape[0]
+    if n == 0:
         return cand
-    distance = float(cand.shape[0] / num + 1)
-    while True:
-        kept: list[np.ndarray] = []
-        d2 = distance * distance
-        for c in cand:
-            ok = True
-            for k in kept:
-                dy = float(c[0] - k[0])
-                dx = float(c[1] - k[1])
-                if dy * dy + dx * dx < d2:
-                    ok = False
-                    break
-            if ok:
-                kept.append(c)
-                if len(kept) == num:
-                    return np.stack(kept)
-        distance -= 1.0
-        if distance < 1.0:
-            return np.stack(kept) if kept else cand[:0]
+    distance = float(n / num + 1)
+    d2 = distance * distance
+    kept: list[np.ndarray] = []
+    kept_yx: list[tuple[float, float]] = []
+    i = 0
+    while len(kept) < num:
+        c = cand[i]
+        cy, cx = float(c[0]), float(c[1])
+        ok = True
+        for ky, kx in kept_yx:
+            if (cy - ky) ** 2 + (cx - kx) ** 2 < d2:
+                ok = False
+                break
+        if ok:
+            kept.append(c)
+            kept_yx.append((cy, cx))
+        i += 1
+        if i == n:
+            i = 0
+            distance -= 1.0
+            d2 = distance * distance
+            if distance < 1.0:
+                # All pixel-distinct candidates are in; nothing more can join.
+                break
+    return np.stack(kept) if kept else cand[:0]
 
 
 def _bit_to_index(bitmask: np.ndarray) -> np.ndarray:
@@ -310,14 +319,18 @@ class TemplateBank:
         return len(self.templates)
 
     def max_cell_extent(self, level: int) -> int:
-        """Max template extent in T-cells at `level` (static for jit)."""
+        """Max template extent in T-cells at `level` (static for jit).
+
+        Exactly max_offset // T + 1 — the GEMM K-dim scales with Kc^2, so an
+        unused extra shift costs ~27% of the coarse contraction at T=8/E=48.
+        """
         T = self.params.t_pyramid[level]
         sizes = np.asarray(
             jnp.stack([lf.size for lf in self.levels[level].values()]).max(axis=0)
         )
         if sizes.size == 0:
             return 1
-        return int(np.ceil(sizes.max() / T)) + 1
+        return int(sizes.max()) // T + 1
 
     def extent(self, level: int) -> int:
         """Max template pixel extent at `level`, rounded up to a multiple of
@@ -459,11 +472,26 @@ class TemplateBank:
         )
         return TemplateMetadata(R=R, T=T, K=K, D=D, Ori_dist=Od, Rect=Rect), g
 
+    def _modality_names(self) -> list[str]:
+        p = self.params
+        return (["ColorGradient"] if p.use_color_gradient else []) + (
+            ["DepthNormal"] if p.use_depth_normal else []
+        )
+
     def write_templates_yaml(self, path: str) -> None:
-        """Detector+templates YAML mirroring cv::linemod::Detector::write +
-        writeClass (readLinemod/writeLinemod, rgbdDetector.cpp:1668-1692):
-        pyramid params, modality configs, per-template per-level feature
-        lists [y, x, orientation]."""
+        """Detector+templates YAML in cv::linemod's OWN serialization schema
+        (Detector::write + writeClass + Template::write + Feature::write,
+        as read back by the reference's readLinemod,
+        rgbdDetector.cpp:1668-1692):
+
+        - template entries carry NO modality name; a TemplatePyramid is the
+          flat list tp[level*num_modalities + modality_index],
+        - feature rows are ``[x, y, label]`` (Feature::write order; our
+          internal rows are (y, x, ori) — swapped here at the boundary),
+        - the class node lists its modality names,
+
+        so banks written here load in OpenCV and vice versa.
+        """
         p = self.params
         mods = []
         if p.use_color_gradient:
@@ -489,17 +517,18 @@ class TemplateBank:
         for i, t in enumerate(self.templates):
             tmpl_entries = []
             for l in range(p.pyramid_levels):
-                mods_l = ([("ColorGradient", t.grad[l])] if p.use_color_gradient else []) + (
-                    [("DepthNormal", t.norm[l])] if p.use_depth_normal else []
+                mods_l = ([t.grad[l]] if p.use_color_gradient else []) + (
+                    [t.norm[l]] if p.use_depth_normal else []
                 )
-                for mname, fl in mods_l:
+                for fl in mods_l:
                     tmpl_entries.append(
                         {
                             "width": int(t.size[l][1]),
                             "height": int(t.size[l][0]),
                             "pyramid_level": l,
-                            "modality": mname,
-                            "features": [[int(f[0]), int(f[1]), int(f[2])] for f in fl],
+                            "features": oy.BlockRows(
+                                [int(f[1]), int(f[0]), int(f[2])] for f in fl
+                            ),
                         }
                     )
             pyramids.append({"template_id": i, "templates": tmpl_entries})
@@ -510,6 +539,7 @@ class TemplateBank:
             "classes": [
                 {
                     "class_id": self.class_id,
+                    "modalities": self._modality_names(),
                     "pyramid_levels": p.pyramid_levels,
                     "template_pyramids": pyramids,
                 }
@@ -557,7 +587,8 @@ class TemplateBank:
                     )
                     cur_pid = pid
                 t = templates[-1]
-                fl = features[fo : fo + nf].copy()
+                # Blob rows are raw file order [x, y, label] -> (y, x, ori).
+                fl = features[fo : fo + nf][:, [1, 0, 2]].copy()
                 fo += nf
                 t.size[level] = (h, w)
                 if mod == 0:
@@ -600,16 +631,23 @@ class TemplateBank:
             depth=dp,
         )
         cls = doc["classes"][0]
+        mod_names = list(cls.get("modalities", [m["type"] for m in doc["modalities"]]))
+        n_mod = max(len(mod_names), 1)
         templates: list[TemplateFeatures] = []
         for pyr in cls["template_pyramids"]:
             grad: list[np.ndarray] = [None] * params.pyramid_levels  # type: ignore
             norm: list[np.ndarray] = [None] * params.pyramid_levels  # type: ignore
             size = [(0, 0)] * params.pyramid_levels
-            for e in pyr["templates"]:
+            for j, e in enumerate(pyr["templates"]):
                 l = int(e["pyramid_level"])
-                fl = np.array(e["features"], np.int32).reshape(-1, 3)
+                # OpenCV Feature::write order is [x, y, label]; internal rows
+                # are (y, x, ori).
+                fl = np.array(e["features"], np.int32).reshape(-1, 3)[:, [1, 0, 2]]
                 size[l] = (int(e["height"]), int(e["width"]))
-                if e["modality"] == "ColorGradient":
+                # Template entries carry no modality name: the pyramid is the
+                # flat list tp[level*num_modalities + modality_index]
+                # (cv::linemod Detector::addTemplate layout).
+                if mod_names[j % n_mod] == "ColorGradient":
                     grad[l] = fl
                 else:
                     norm[l] = fl

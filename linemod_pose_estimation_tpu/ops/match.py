@@ -333,6 +333,64 @@ def refine_candidates_pallas(
     )
 
 
+@partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0", "interpret"))
+def refine_candidates_pallas_batched(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int,
+    fine_T: int = 5,
+    window: int = 24,
+    interpret: bool = False,
+) -> Matches:
+    """Batched-frame refinement: R0 is (B, C, H, W), cand arrays are (B, K).
+    ONE Pallas dispatch refines all B*K candidates (each candidate's patch
+    DMA reads its own frame via a per-candidate frame index) — the serving /
+    bench hot path where per-call overhead would otherwise multiply by B.
+    """
+    from .pallas_kernels import refine_scores_pallas
+
+    B, C, H, W = R0.shape
+    K = cand.template_id.shape[1]
+    anchor_y = jnp.clip(cand.cell_y * coarse_T * 2 - (fine_T - 1), 0, H - 1).reshape(-1)
+    anchor_x = jnp.clip(cand.cell_x * coarse_T * 2 - (fine_T - 1), 0, W - 1).reshape(-1)
+    t = cand.template_id.reshape(-1)
+    offs = feats0.offsets[t]
+    cnt = feats0.count[t]
+    frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    scores = refine_scores_pallas(
+        R0,
+        feats0.oris[t],
+        jnp.clip(offs[..., 0], 0, E0),
+        jnp.clip(offs[..., 1], 0, E0),
+        cnt,
+        anchor_y,
+        anchor_x,
+        E0=E0,
+        window=window,
+        frame_idx=frame_idx,
+        interpret=interpret,
+    )
+    flat = scores.reshape(B * K, -1)
+    rev = flat[:, ::-1]
+    best = flat.shape[1] - 1 - jnp.argmax(rev, axis=1)
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    by = best // window
+    bx = best % window
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))
+    ok = cand.valid.reshape(-1) & (sim >= threshold)
+    shp = lambda a: a.reshape(B, K)
+    return Matches(
+        template_id=shp(t),
+        x=shp(anchor_x + bx),
+        y=shp(anchor_y + by),
+        similarity=shp(sim),
+        valid=shp(ok),
+    )
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def select_candidates_approx(
     raw: jnp.ndarray,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .features import RESPONSE_ADJACENT, RESPONSE_EXACT
+from .features import RESPONSE_BY_DISTANCE, distance_masks
 
 
 # ---------------------------------------------------------------------------
@@ -53,13 +53,11 @@ def _spread_response_kernel(T: int, TH: int, W: int, halo: int):
             for c in range(T):
                 s = s | q_tile[r : r + TH, c : c + W]
         for o in range(8):
-            exact = 1 << o
-            adj = (1 << ((o - 1) % 8)) | (1 << ((o + 1) % 8))
-            resp = jnp.where(
-                (s & exact) != 0,
-                RESPONSE_EXACT,
-                jnp.where((s & adj) != 0, RESPONSE_ADJACENT, 0),
-            )
+            masks = distance_masks(o)
+            resp = jnp.zeros((TH, W), jnp.int32)
+            # Graded LUT: nearest set bit wins (4/3/2/1/0 by circ distance).
+            for d in range(3, -1, -1):
+                resp = jnp.where((s & masks[d]) != 0, RESPONSE_BY_DISTANCE[d], resp)
             out_ref[o, :, :] = resp.astype(jnp.int8)
 
     return kernel
@@ -103,17 +101,18 @@ def spread_response(
 # ---------------------------------------------------------------------------
 
 
-def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int):
+def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int, WR: int):
     def kernel(oris_ref, dys_ref, dxs_ref, nf_ref, ay8_ref, ax128_ref,
-               R_hbm, out_ref, patch, sem):
+               fidx_ref, R_hbm, out_ref, patch, sem):
         k = pl.program_id(0)
         # (8, 128)-aligned patch DMA; the sub-tile residual is folded into
         # the per-feature offsets on the host side.  multiple_of lets Mosaic
         # prove the tiled-memref slice is aligned.
         ay = pl.multiple_of(ay8_ref[k], 8)
         ax = pl.multiple_of(ax128_ref[k], 128)
+        ch0 = pl.multiple_of(fidx_ref[k] * C, C)
         dma = pltpu.make_async_copy(
-            R_hbm.at[:, pl.ds(ay, PR), pl.ds(ax, PC)], patch, sem
+            R_hbm.at[pl.ds(ch0, C), pl.ds(ay, PR), pl.ds(ax, PC)], patch, sem
         )
         dma.start()
         dma.wait()
@@ -124,10 +123,13 @@ def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int):
             o = oris_ref[k, f]
             dy = dys_ref[k, f]
             dx = dxs_ref[k, f]
-            plane = patch[o]
-            # Dynamic offsets via circular rolls (lane-dim dynamic slicing
-            # is not supported by Mosaic; rolls are), then a static corner.
-            rolled = pltpu.roll(pltpu.roll(plane, -dy, 0), -dx, 1)
+            # Row offset: Mosaic vector loads need sublane starts provably
+            # 8-aligned, so slice at the aligned base below dy and roll the
+            # small residual.  Rolling the (WR, PC) slab instead of the full
+            # (PR, PC) plane twice cuts the per-feature VPU traffic ~5x.
+            dy8 = pl.multiple_of((dy // 8) * 8, 8)
+            slab = patch[o, pl.ds(dy8, WR), :]
+            rolled = pltpu.roll(pltpu.roll(slab, -(dy - dy8), 0), -dx, 1)
             sl = rolled[:window, :window].astype(jnp.int32)
             acc = acc + jnp.where(f < nf, sl, 0)
         out_ref[0, :, :] = acc
@@ -147,29 +149,41 @@ def refine_scores_pallas(
     E0: int,
     window: int = 24,
     interpret: bool = False,
+    frame_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Raw refinement scores (K, window, window) int32.
 
-    R0: (C, H, W) uint8 response maps.  The caller supplies non-negative
-    anchors/offsets; reads past the image edge land in the zero padding.
+    R0: (C, H, W) uint8 response maps — or (B, C, H, W) with `frame_idx`
+    (K,) selecting each candidate's frame (the DP-batched serving path).
+    The caller supplies non-negative anchors/offsets; reads past the image
+    edge land in the zero padding.
     """
-    C, H, W = R0.shape
+    if R0.ndim == 4:
+        B, C, H, W = R0.shape
+        Rflat = R0.reshape(B * C, H, W)
+    else:
+        C, H, W = R0.shape
+        Rflat = R0
     K, Fmax = cand_oris.shape
+    if frame_idx is None:
+        frame_idx = jnp.zeros((K,), jnp.int32)
     # Patch big enough for the 8/128 alignment residual + offsets + window.
     PR = _round_up(8 + E0 + window, 8)
     PC = _round_up(128 + E0 + window, 128)
     # int32 patches: Mosaic's dynamic rotate (used for the sub-tile offset)
     # only supports 32-bit lanes.
-    Rp = jnp.pad(R0, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int32)
+    Rp = jnp.pad(Rflat, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int32)
 
     # Align the DMA base; fold residuals into the feature offsets.
     ay8 = (anchor_y // 8) * 8
     ax128 = (anchor_x // 128) * 128
     dys = cand_dys + (anchor_y - ay8)[:, None]
     dxs = cand_dxs + (anchor_x - ax128)[:, None]
+    # Row-slab height: window + the 8-alignment residual of the row offset.
+    WR = _round_up(window, 8) + 8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(K,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -181,9 +195,9 @@ def refine_scores_pallas(
         ],
     )
     out = pl.pallas_call(
-        _refine_kernel(Fmax, C, PR, PC, window),
+        _refine_kernel(Fmax, C, PR, PC, window, WR),
         out_shape=jax.ShapeDtypeStruct((K, window, window), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cand_oris, dys, dxs, cand_nf, ay8, ax128, Rp)
+    )(cand_oris, dys, dxs, cand_nf, ay8, ax128, frame_idx.astype(jnp.int32), Rp)
     return out

@@ -3,19 +3,32 @@
 The load-bearing parallelism for large banks (SURVEY.md section 2.3): the
 template axis shards over the mesh's "bank" axis (each chip scores its
 templates over the whole frame — the TP analog), frames batch over "data"
-(DP analog).  Per-shard top-k candidates merge with an all-gather over ICI;
-template ids are re-based by shard offset so the merged result is globally
-indexed.  This replaces the reference's single-core sliding window + ROS
-process pipelining with XLA collectives.
+(DP analog).  This replaces the reference's single-core sliding window +
+ROS process pipelining with XLA collectives.
+
+Two entry points:
+
+- make_sharded_coarse_matcher: coarse-level scoring only, using the
+  gather-based reference scorer (bit-identical baseline used by equality
+  tests).
+- make_sharded_detect_step: the PRODUCTION path — per-device preprocess of
+  the local frame shard, ONE int8 GEMM per device over its bank shard
+  (ops.match.coarse_scores_gemm, the same MXU engine as single-chip),
+  per-shard top-k, per-shard LEVEL-0 REFINEMENT of its own candidates
+  (each device owns its shard's level-0 features, so refinement needs no
+  feature exchange), then an all-gather of refined matches over ICI and a
+  global top-k.  Scoring compute scales 1/n_bank per chip; the collective
+  moves only O(top_k) records per frame.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import match as M
@@ -40,6 +53,48 @@ def pad_bank_features(feats: M.LevelFeatures, shards: int) -> M.LevelFeatures:
     )
 
 
+class ShardedBank(NamedTuple):
+    """Device-ready bank for the sharded detect step: level-1 GEMM weights
+    (K_dim, N) and both levels' features, all sharded on the template axis.
+    """
+
+    W1: jnp.ndarray
+    feats1: M.LevelFeatures
+    feats0: M.LevelFeatures
+
+
+def make_sharded_bank(
+    mesh: Mesh, feats1: M.LevelFeatures, feats0: M.LevelFeatures, C: int, T1: int, Kc1: int
+) -> ShardedBank:
+    """Pad + place a bank with its multi-chip shardings (template axis over
+    "bank"; the GEMM weight's N axis likewise)."""
+    n_bank = mesh.shape["bank"]
+    feats1 = pad_bank_features(feats1, n_bank)
+    feats0 = pad_bank_features(feats0, n_bank)
+    W1 = M.build_gemm_weights(feats1, C, T1, Kc1)
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    return ShardedBank(
+        W1=put(W1, P(None, "bank")),
+        feats1=jax.tree.map(lambda a: put(a, P("bank")), feats1),
+        feats0=jax.tree.map(lambda a: put(a, P("bank")), feats0),
+    )
+
+
+def _merge_topk(mat: M.Matches, top_k: int, threshold: float, axis: str) -> M.Matches:
+    """All-gather per-shard refined matches over ICI, keep the global top-k."""
+    allm = jax.lax.all_gather(mat, axis, axis=1, tiled=False)
+    sims = allm.similarity.reshape(allm.similarity.shape[0], -1)
+    vals, idx = jax.lax.top_k(jnp.where(allm.valid.reshape(sims.shape), sims, -1.0), top_k)
+    take = lambda a: jnp.take_along_axis(a.reshape(sims.shape), idx, axis=1)
+    return M.Matches(
+        template_id=take(allm.template_id),
+        x=take(allm.x),
+        y=take(allm.y),
+        similarity=vals,
+        valid=take(allm.valid) & (vals >= threshold),
+    )
+
+
 def make_sharded_coarse_matcher(
     mesh: Mesh,
     T: int,
@@ -47,21 +102,18 @@ def make_sharded_coarse_matcher(
     top_k: int,
     threshold: float,
 ):
-    """Build a jitted (R_batch, feats) -> CoarseMatches-per-frame function.
+    """Coarse-only matcher on the gather-based reference scorer.
 
     R_batch: (B, C, H, W) response maps, B sharded over "data".
     feats:   LevelFeatures with template axis sharded over "bank".
     Output:  per-frame global top-k (B, top_k) arrays, replicated over
              "bank", sharded over "data".
     """
-    n_bank = mesh.shape["bank"]
-
     feats_spec = M.LevelFeatures(
         offsets=P("bank"), oris=P("bank"), live=P("bank"), count=P("bank"), size=P("bank")
     )
 
     def local_match(R_local, feats_local):
-        # R_local: (B_local, C, H, W); feats_local: shard of the bank.
         def one_frame(R):
             raw = M.coarse_scores(R, feats_local, T, max_cell_extent)
             Hc, Wc = raw.shape[1:]
@@ -77,7 +129,6 @@ def make_sharded_coarse_matcher(
 
         # Merge shards: all-gather per-shard top-k over ICI, then global top-k.
         allc = jax.lax.all_gather(cand, "bank", axis=1, tiled=False)
-        # allc arrays: (B_local, n_bank, top_k)
         sims = allc.similarity.reshape(allc.similarity.shape[0], -1)
         vals, idx = jax.lax.top_k(jnp.where(
             allc.valid.reshape(sims.shape), sims, -1.0), top_k)
@@ -106,20 +157,79 @@ def make_sharded_coarse_matcher(
 def make_sharded_detect_step(
     mesh: Mesh,
     T1: int,
-    max_cell_extent: int,
+    Kc1: int,
     top_k: int,
     threshold: float,
+    T0: int = 5,
+    E0: int = 96,
+    use_depth: bool = False,
+    coarse_margin: float = 5.0,
 ):
-    """Full multi-chip 'detect step' over a frame batch: per-shard coarse
-    scoring -> ICI top-k merge -> psum'd match-count metric.  This is the
-    function the driver dry-runs across virtual devices (see
-    __graft_entry__.dryrun_multichip)."""
-    matcher = make_sharded_coarse_matcher(mesh, T1, max_cell_extent, top_k, threshold)
+    """The full multi-chip detect step over a raw frame batch:
 
-    def step(R_batch, feats):
-        cand = matcher(R_batch, feats)
-        num = jnp.sum(cand.valid.astype(jnp.int32))
-        best = jnp.max(jnp.where(cand.valid, cand.similarity, -1.0))
-        return cand, {"num_matches": num, "best_similarity": best}
+      rgbs (B, H, W, 3) u8 [P("data")], depths (B, H, W) f32 or None
+      bank: ShardedBank (make_sharded_bank)
+      -> Matches with (B, top_k) arrays [P("data")], metrics psum'd over
+         the whole mesh.
 
-    return jax.jit(step)
+    Per device: preprocess its local frames -> int8 GEMM over its bank
+    shard (the production MXU engine) -> per-shard top-k -> level-0
+    refinement of its own candidates -> ICI all-gather + global top-k.
+    This is the function the driver dry-runs across virtual devices
+    (__graft_entry__.dryrun_multichip).
+    """
+    feats_spec = M.LevelFeatures(
+        offsets=P("bank"), oris=P("bank"), live=P("bank"), count=P("bank"), size=P("bank")
+    )
+    bank_spec = ShardedBank(W1=P(None, "bank"), feats1=feats_spec, feats0=feats_spec)
+
+    def local_step(rgbs, depths, bank):
+        n_local = bank.feats1.oris.shape[0]
+        shard = jax.lax.axis_index("bank").astype(jnp.int32)
+
+        def pre(rgb, depth):
+            pyr = M.preprocess_frame(rgb, depth, T0=T0, T1=T1, use_depth=use_depth)
+            if use_depth:
+                return (jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0),
+                        jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0))
+            return pyr.grad_r0, pyr.grad_r1
+
+        R0, R1 = jax.vmap(pre)(rgbs, depths)
+
+        def one_frame(R1f, R0f):
+            raw = M.coarse_scores_gemm(R1f, bank.W1, T1, Kc1)
+            Hc, Wc = raw.shape[1:]
+            vpos = M.position_validity(bank.feats1.size, T1, Hc, Wc)
+            cand = M.select_candidates(
+                raw, bank.feats1.count, vpos, max(threshold - coarse_margin, 0.0), top_k
+            )
+            ref = M.refine_candidates_slices(
+                R0f, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0
+            )
+            return M.Matches(
+                template_id=ref.template_id + shard * n_local,
+                x=ref.x, y=ref.y, similarity=ref.similarity, valid=ref.valid,
+            )
+
+        mat = jax.vmap(one_frame)(R1, R0)
+        merged = _merge_topk(mat, top_k, threshold, "bank")
+        num = jax.lax.psum(
+            jnp.sum(merged.valid.astype(jnp.int32)), ("data", "bank")
+        ) // mesh.shape["bank"]
+        best = jax.lax.pmax(
+            jnp.max(jnp.where(merged.valid, merged.similarity, -1.0)), ("data", "bank")
+        )
+        return merged, {"num_matches": num, "best_similarity": best}
+
+    out_spec = M.Matches(
+        template_id=P("data"), x=P("data"), y=P("data"),
+        similarity=P("data"), valid=P("data"),
+    )
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), bank_spec),
+        out_specs=(out_spec, {"num_matches": P(), "best_similarity": P()}),
+        check_vma=False,
+    )
+    return jax.jit(fn)

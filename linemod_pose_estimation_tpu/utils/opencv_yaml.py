@@ -45,6 +45,17 @@ class CvMatrix:
             raise ValueError("opencv-matrix must be 2-D")
 
 
+class BlockRows(list):
+    """Marker: a list of short rows emitted as a block sequence of flow
+    sequences — FileStorage's style for per-item ``write(fs) << "[:" ...``
+    members, e.g. cv::linemod Feature lists::
+
+        features:
+           - [ 14, 2, 4 ]
+           - [ 22, 2, 4 ]
+    """
+
+
 def _matrix_constructor(loader, node):
     mapping = loader.construct_mapping(node, deep=True)
     dt = mapping["dt"]
@@ -134,6 +145,15 @@ def _emit_value(buf: io.StringIO, key: str, v: Any, depth: int) -> None:
         buf.write(f"{indent}{key}:\n")
         for k2, v2 in v.items():
             _emit_value(buf, k2, v2, depth + 1)
+    elif isinstance(v, BlockRows):
+        if not v:
+            buf.write(f"{indent}{key}: []\n")
+        else:
+            buf.write(f"{indent}{key}:\n")
+            for row in v:
+                buf.write(
+                    f"{indent}   - [ " + ", ".join(_fmt_scalar(x) for x in row) + " ]\n"
+                )
     elif isinstance(v, (list, tuple, np.ndarray)):
         seq = list(v.tolist()) if isinstance(v, np.ndarray) else list(v)
         if seq and isinstance(seq[0], dict):

@@ -20,7 +20,9 @@
 //                   i32 entry[n_entries*6]  (pyramid_id, width, height,
 //                       level, modality_id, n_features) ColorGradient=0,
 //                       DepthNormal=1
-//                   i32 features[n_features_total*3]  (y, x, ori)
+//                   i32 features[n_features_total*3]  (x, y, label — the
+//                       raw cv::linemod Feature::write order; the Python
+//                       boundary swaps to internal (y, x, ori))
 //                   i32 header[4] (pyramid_levels, n_modalities, T0, T1)
 //                   f64 modality_params[2*4]
 //                       (weak, num_features, strong, pad) for ColorGradient
@@ -82,10 +84,15 @@ double parse_scalar(const std::string& t, size_t vp) {
 }
 
 // Parse a flow sequence "[ a, b, ... ]" (possibly multiline) of numbers.
-std::vector<double> parse_flow(const std::string& t, size_t vp) {
+// If end_out is non-null it receives the position just past the closing ']'.
+std::vector<double> parse_flow(const std::string& t, size_t vp,
+                               size_t* end_out = nullptr) {
   std::vector<double> out;
   size_t p = t.find('[', vp);
-  if (p == std::string::npos) return out;
+  if (p == std::string::npos) {
+    if (end_out) *end_out = std::string::npos;
+    return out;
+  }
   ++p;
   int depth = 1;
   while (p < t.size() && depth > 0) {
@@ -104,6 +111,37 @@ std::vector<double> parse_flow(const std::string& t, size_t vp) {
       ++p;
     }
   }
+  if (end_out) *end_out = p;
+  return out;
+}
+
+// Parse a feature list after "features:".  Two layouts appear:
+//   OpenCV FileStorage block sequence (cv::linemod Feature::write):
+//       features:
+//          - [ 14, 2, 4 ]
+//          - [ 22, 2, 4 ]
+//   legacy one-line nested flow: "features: [[14, 2, 4], [22, 2, 4]]".
+// Returns the flat numbers; fend receives the position after the list.
+std::vector<double> parse_features(const std::string& t, size_t fp, size_t* fend) {
+  size_t p = t.find_first_not_of(" \t", fp);
+  if (p != std::string::npos && t[p] == '[') {
+    return parse_flow(t, fp, fend);  // nested flow collects all numbers
+  }
+  std::vector<double> out;
+  // Block sequence: rows of "- [ x, y, l ]".
+  while (p != std::string::npos && p < t.size()) {
+    p = t.find_first_not_of(" \t\r\n", p);
+    if (p == std::string::npos || t[p] != '-') break;
+    size_t bp = t.find_first_not_of(" \t", p + 1);
+    if (bp == std::string::npos || t[bp] != '[') break;
+    size_t end;
+    auto row = parse_flow(t, bp, &end);
+    for (double v : row) out.push_back(v);
+    p = end;
+  }
+  if (fend) *fend = p == std::string::npos ? fp : p;
+  // Empty list "[]" parses through the flow path above; reaching here with
+  // no rows means "features: []" on its own line or a truly empty node.
   return out;
 }
 
@@ -213,7 +251,12 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
   const std::string& t = r.text;
 
   std::vector<int32_t> entries;   // pyramid_id, w, h, level, modality, nf
-  std::vector<int32_t> features;  // y, x, ori
+  std::vector<int32_t> features;  // x, y, label (raw Feature::write order)
+
+  // Modality count: template entries carry no modality name (cv::linemod
+  // TemplatePyramid is the flat list tp[level*num_mod + mod_index]), so the
+  // index within each pyramid determines the modality.
+  int n_mod = (t.find("DepthNormal") != std::string::npos) ? 2 : 1;
 
   // Walk template_pyramids entries in order.  find_key returns the position
   // just AFTER "template_id:", so `next` is exactly where the following
@@ -229,26 +272,27 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
     // Entries of this pyramid run until the next template_id (or EOF).
     size_t next = find_key(t, "template_id", idp);
     size_t ep = idp;
+    int ecount = 0;
     while (true) {
       size_t wp = find_key(t, "width", ep);
       if (wp == std::string::npos || (next != std::string::npos && wp > next)) break;
       size_t hp = find_key(t, "height", wp);
       size_t lp = find_key(t, "pyramid_level", hp);
-      size_t mp = find_key(t, "modality", lp);
-      size_t fp = find_key(t, "features", mp);
+      size_t fp = find_key(t, "features", lp);
       if (fp == std::string::npos) return nullptr;
-      int32_t mod = (t.compare(t.find_first_not_of(' ', mp), 5, "Depth") == 0) ? 1 : 0;
-      auto fv = parse_flow(t, fp);
+      size_t fend;
+      auto fv = parse_features(t, fp, &fend);
       if (fv.size() % 3 != 0) return nullptr;
       entries.push_back(pid);
       entries.push_back(static_cast<int32_t>(parse_scalar(t, wp)));
       entries.push_back(static_cast<int32_t>(parse_scalar(t, hp)));
       entries.push_back(static_cast<int32_t>(parse_scalar(t, lp)));
-      entries.push_back(mod);
+      entries.push_back(ecount % n_mod);
       entries.push_back(static_cast<int32_t>(fv.size() / 3));
       for (double v : fv) features.push_back(static_cast<int32_t>(v));
       ++n_entries;
-      ep = fp;
+      ++ecount;
+      ep = fend;
     }
     idp = next;
   }

@@ -160,3 +160,34 @@ def test_cascade_empty_scene(pipeline):
     cloud = np.full((H, W, 3), np.nan, np.float32)
     dets = pipe.detect(rgb, cloud, threshold=85.0)
     assert dets == []
+
+
+def test_detect_return_stages_and_overlay(pipeline):
+    """C23: detect(return_stages=True) exposes every cascade stage —
+    matches, vote cells, NMS survivors, pre/post-ICP poses — and
+    draw_response paints match features (service.cpp:723-748 analog)."""
+    pipe, r, meta, kept = pipeline
+    out = r.render(meta.R[0], meta.T[0])
+    rgb = np.asarray(out.rgb)
+    cloud = np.asarray(pcu.depth_to_cloud(out.depth_mm / 1000.0, r.K))
+    dets, stages = pipe.detect(rgb, cloud, threshold=85.0, return_stages=True)
+    assert len(dets) >= 1
+    # Raw matches feed the cascade.
+    assert np.asarray(stages.matches.valid).any()
+    # Vote cells grouped + filtered; at least one cluster alive.
+    alive = np.asarray(stages.clusters.valid)
+    assert alive.any()
+    assert stages.nms_keep.shape == alive.shape
+    assert (np.asarray(stages.clusters.count)[alive] >= 1).all()
+    # Pre/post-ICP poses both present; rough pose is a valid rigid transform.
+    i = int(np.nonzero(np.asarray(stages.poses.valid))[0][0])
+    rough = np.asarray(stages.poses.rough_pose[i])
+    refined = np.asarray(stages.poses.pose[i])
+    for P4 in (rough, refined):
+        assert P4.shape == (4, 4)
+        np.testing.assert_allclose(P4[:3, :3] @ P4[:3, :3].T, np.eye(3), atol=1e-4)
+    assert dets[0].rough_pose is not None
+    # Overlay: some pixels change where features land.
+    img = pipe.draw_response(rgb, stages.matches)
+    assert img.shape == rgb.shape
+    assert (img != rgb).any()

@@ -105,3 +105,24 @@ def test_bank_yaml_roundtrip(tmp_path, trained):
     b1, b2 = np.argmax(r1.similarity), np.argmax(r2.similarity)
     assert r1.x[b1] == r2.x[b2] and r1.y[b1] == r2.y[b2]
     np.testing.assert_allclose(r1.similarity[b1], r2.similarity[b2], atol=1e-4)
+
+
+def test_response_maps_graded_similarity_lut():
+    """OpenCV's SIMILARITY_LUT grades by circular bin distance: 4/3/2/1/0
+    (linemod.cpp computeResponseMaps) — e.g. a 2-bin-off orientation scores
+    2, not 0 (ADVICE.md round-1 finding)."""
+    import jax.numpy as jnp
+    from linemod_pose_estimation_tpu.ops import features as F
+
+    for b in range(8):
+        quant = jnp.full((4, 4), 1 << b, jnp.uint8)
+        R = F.response_maps(quant)
+        for o in range(8):
+            d = min(abs(o - b), 8 - abs(o - b))
+            assert int(R[o, 0, 0]) == 4 - d, (o, b)
+
+    # Multiple set bits: nearest bit wins.
+    quant = jnp.full((2, 2), (1 << 0) | (1 << 3), jnp.uint8)
+    R = F.response_maps(quant)
+    assert int(R[1, 0, 0]) == 3  # distance 1 to bit0 beats distance 2 to bit3
+    assert int(R[5, 0, 0]) == 2  # distance 2 to bit3

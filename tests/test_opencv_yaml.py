@@ -82,3 +82,89 @@ def test_opencv_written_yaml_readable_by_us(tmp_path):
     np.testing.assert_allclose(doc["mat"], np.linspace(0, 1, 12).reshape(3, 4))
     assert doc["count"] == 42
     assert doc["name"] == "obj"
+
+
+GOLDEN_LINEMOD = "tests/data/opencv_linemod_golden.yml"
+
+
+def test_read_genuine_opencv_linemod_bank():
+    """Cross-read a cv::linemod-format templates.yml (hand-built to OpenCV's
+    Detector::write/writeClass/Template::write/Feature::write layout,
+    rgbdDetector.cpp:1668-1692): template entries carry no modality name
+    (position encodes it), feature rows are [x, y, label]."""
+    from linemod_pose_estimation_tpu.models.templates import TemplateBank
+
+    bank = TemplateBank.read_templates_yaml(GOLDEN_LINEMOD, f_cap=8)
+    assert bank.class_id == "golden_obj"
+    assert bank.params.t_pyramid == (5, 8)
+    assert bank.params.use_color_gradient and bank.params.use_depth_normal
+    assert bank.num_templates == 2
+    t0 = bank.templates[0]
+    # ColorGradient level 0 of template 0: [x,y,l] rows (11,3,4),(25,7,2),
+    # (39,29,7) -> internal (y,x,ori).
+    np.testing.assert_array_equal(
+        t0.grad[0], np.array([[3, 11, 4], [7, 25, 2], [29, 39, 7]], np.int32)
+    )
+    np.testing.assert_array_equal(t0.norm[0], np.array([[9, 5, 1], [20, 30, 6]], np.int32))
+    np.testing.assert_array_equal(t0.grad[1], np.array([[2, 6, 3], [14, 19, 0]], np.int32))
+    np.testing.assert_array_equal(t0.norm[1], np.array([[4, 2, 5]], np.int32))
+    assert t0.size[0] == (30, 40) and t0.size[1] == (15, 20)
+    t1 = bank.templates[1]
+    np.testing.assert_array_equal(t1.grad[0], np.array([[2, 1, 0], [11, 15, 3]], np.int32))
+    np.testing.assert_array_equal(t1.norm[1], np.array([[5, 7, 4]], np.int32))
+
+
+def test_native_matches_pyyaml_on_opencv_bank():
+    """Native C++ parser and PyYAML agree on a genuine OpenCV-layout bank."""
+    from linemod_pose_estimation_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native loader not built")
+    nat = native.load_templates_native(GOLDEN_LINEMOD)
+    assert nat is not None
+    entries, features, header, mparams = nat
+    assert len(entries) == 8  # 2 pyramids x 2 levels x 2 modalities
+    # entry: pid, w, h, level, modality, nf
+    np.testing.assert_array_equal(entries[0], [0, 40, 30, 0, 0, 3])
+    np.testing.assert_array_equal(entries[1], [0, 40, 30, 0, 1, 2])
+    np.testing.assert_array_equal(entries[2], [0, 20, 15, 1, 0, 2])
+    np.testing.assert_array_equal(entries[3], [0, 20, 15, 1, 1, 1])
+    # raw file order [x, y, label]
+    np.testing.assert_array_equal(features[0], [11, 3, 4])
+    np.testing.assert_array_equal(features[3], [5, 9, 1])
+    assert list(header) == [2, 2, 5, 8]
+
+
+def test_written_bank_feature_order_is_opencv(tmp_path):
+    """Our writer emits Feature rows as [x, y, label] block sequences that
+    cv2.FileStorage reads back verbatim."""
+    cv2 = pytest.importorskip("cv2")
+    from linemod_pose_estimation_tpu.models.templates import (
+        DetectorParams, TemplateBank, TemplateFeatures,
+    )
+
+    t = TemplateFeatures(
+        grad=[np.array([[3, 11, 4], [7, 25, 2]], np.int32),
+              np.array([[2, 6, 3]], np.int32)],
+        norm=[],
+        size=[(30, 40), (15, 20)],
+        rect0=(0, 0, 40, 30),
+    )
+    bank = TemplateBank("obj", DetectorParams(), [t], f_cap=8)
+    p = str(tmp_path / "templates.yml")
+    bank.write_templates_yaml(p)
+    fs = cv2.FileStorage(p, cv2.FILE_STORAGE_READ)
+    cls = fs.getNode("classes").at(0)
+    assert cls.getNode("class_id").string() == "obj"
+    mods = cls.getNode("modalities")
+    assert mods.at(0).string() == "ColorGradient"
+    e0 = cls.getNode("template_pyramids").at(0).getNode("templates").at(0)
+    assert int(e0.getNode("width").real()) == 40
+    f0 = e0.getNode("features").at(0)
+    # internal (y=3, x=11, ori=4) -> serialized [x, y, label] = [11, 3, 4]
+    assert [int(f0.at(i).real()) for i in range(3)] == [11, 3, 4]
+    fs.release()
+    # And it round-trips through our own readers.
+    b2 = TemplateBank.read_templates_yaml(p, f_cap=8)
+    np.testing.assert_array_equal(b2.templates[0].grad[0], t.grad[0])
+    np.testing.assert_array_equal(b2.templates[0].grad[1], t.grad[1])

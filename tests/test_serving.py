@@ -53,11 +53,16 @@ def test_batched_matcher_consistent_with_single(rng):
 
     bm = BatchedMatcher(det, "obj", threshold=90.0, batch=2, top_k=16)
     frames = np.stack([src, plant((120, 160, 3), patch, (44, 62))])
-    res = bm.match_batch(jnp.asarray(frames))
+    res = bm.match_batch_list(jnp.asarray(frames))
     assert len(res) == 2
-    for b, expect in enumerate([(50, 30), (62, 44)]):
+    rx0, ry0 = det.template_rect0("obj", 0)[:2]
+    # Matches report the cropped-template bbox origin; frame 1's plant is
+    # shifted by (+12, +14) from frame 0's.
+    for b, (sx, sy) in enumerate([(0, 0), (12, 14)]):
         m = res[b]
         ok = np.asarray(m.valid)
         assert ok.any()
         sims = np.asarray(m.similarity)[ok]
         assert sims.max() >= 99.0
+        best = int(np.argmax(np.where(ok, np.asarray(m.similarity), -1.0)))
+        assert (int(m.x[best]), int(m.y[best])) == (rx0 + sx, ry0 + sy)

@@ -8,6 +8,7 @@ import pytest
 from linemod_pose_estimation_tpu.ops import match as M
 from linemod_pose_estimation_tpu.parallel import mesh as PM
 from linemod_pose_estimation_tpu.parallel.sharded_match import (
+    make_sharded_bank,
     make_sharded_coarse_matcher,
     make_sharded_detect_step,
     pad_bank_features,
@@ -65,13 +66,85 @@ def test_sharded_matches_single_device_result(rng, mesh8):
 
 
 def test_sharded_detect_step_runs(rng, mesh8):
-    feats = pad_bank_features(random_bank(rng, 16), 4)
-    R = random_responses(rng, 2, 64, 64)
-    step = make_sharded_detect_step(mesh8, 8, 5, top_k=8, threshold=0.0)
-    cand, metrics = step(R, feats)
-    assert cand.template_id.shape == (2, 8)
-    assert int(metrics["num_matches"]) > 0
-    assert 0.0 <= float(metrics["best_similarity"]) <= 100.0
+    """Full production step: raw frames -> preprocess -> bank-sharded GEMM ->
+    refine -> ICI merge.  Runs end-to-end on the virtual mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T0, T1, E1 = 5, 8, 16
+    Kc1 = (E1 - 1) // T1 + 1
+    sb = make_sharded_bank(
+        mesh8, random_bank(rng, 16, extent=E1), random_bank(rng, 16, extent=2 * E1),
+        C=8, T1=T1, Kc1=Kc1,
+    )
+    rgbs = jnp.asarray(rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8))
+    depths = jnp.zeros((2, 64, 64), jnp.float32)
+    rgbs = jax.device_put(rgbs, NamedSharding(mesh8, P("data")))
+    depths = jax.device_put(depths, NamedSharding(mesh8, P("data")))
+    step = make_sharded_detect_step(
+        mesh8, T1, Kc1, top_k=8, threshold=0.0, T0=T0, E0=2 * E1
+    )
+    mat, metrics = step(rgbs, depths, sb)
+    assert mat.template_id.shape == (2, 8)
+    assert int(metrics["num_matches"]) >= 0
+    assert -1.0 <= float(metrics["best_similarity"]) <= 100.0
+
+
+def test_sharded_detect_equals_single_device(rng, mesh8):
+    """The sharded step (GEMM coarse + per-shard refine + ICI merge) must
+    find the planted template at the same place/score as the single-device
+    engine."""
+    import sys
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    patch, mask = make_object_patch(rng)
+    src = plant((128, 128, 3), patch, (30, 50))
+    src_mask = plant((128, 128), mask, (30, 50))
+    det = Detector(DetectorParams(), engine="gather")
+    assert det.add_template(src, src_mask, "obj") == 0
+    bank = det.bank("obj")
+    feats1 = bank.merged_features(1)
+    feats0 = bank.merged_features(0)
+    T0, T1 = det.params.t_pyramid
+    Kc1 = bank.max_cell_extent(1)
+    E0 = bank.extent(0)
+
+    sb = make_sharded_bank(mesh8, feats1, feats0, C=8, T1=T1, Kc1=Kc1)
+    frames = np.stack([src, plant((128, 128, 3), patch, (38, 34))])
+    rgbs = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh8, P("data"))
+    )
+    depths = jax.device_put(
+        jnp.zeros((2, 128, 128), jnp.float32), NamedSharding(mesh8, P("data"))
+    )
+    step = make_sharded_detect_step(
+        mesh8, T1, Kc1, top_k=8, threshold=90.0, T0=T0, E0=E0
+    )
+    mat, metrics = step(rgbs, depths, sb)
+
+    # Single-device reference through the same engine.
+    ref = det.match(frames[0], 90.0)["obj"]
+    assert len(ref) > 0
+    rbest = int(np.argmax(ref.similarity))
+    ok0 = np.asarray(mat.valid[0])
+    assert ok0.any()
+    b0 = int(np.argmax(np.where(ok0, np.asarray(mat.similarity[0]), -1.0)))
+    assert float(mat.similarity[0][b0]) >= 99.0
+    assert (int(mat.x[0][b0]), int(mat.y[0][b0])) == (int(ref.x[rbest]), int(ref.y[rbest]))
+    # Frame 1: plant shifted by (-16, +8) from frame 0 -> match shifts too.
+    ok1 = np.asarray(mat.valid[1])
+    b1 = int(np.argmax(np.where(ok1, np.asarray(mat.similarity[1]), -1.0)))
+    assert (int(mat.x[1][b1]), int(mat.y[1][b1])) == (
+        int(ref.x[rbest]) - 16, int(ref.y[rbest]) + 8,
+    )
 
 
 def test_bank_padding_dead_templates(rng, mesh8):
