@@ -47,27 +47,46 @@ def _reflect_pad2d(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.pad(x, [(p, p), (p, p)], mode="reflect")
 
 
+def _band_matrix(n_in: int, taps: jnp.ndarray) -> jnp.ndarray:
+    """(n_in, n_in - k + 1) banded matrix B with B[j + i, j] = taps[k-1-i]
+    (conv semantics: kernel flipped), so  x @ B  is the VALID 1-D conv."""
+    k = int(taps.shape[0])
+    n_out = n_in - k + 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    d = rows - cols  # tap index i in [0, k)
+    flipped = jnp.asarray(np.asarray(taps)[::-1].copy(), jnp.float32)
+    return jnp.where(
+        (d >= 0) & (d < k), flipped[jnp.clip(d, 0, k - 1)], 0.0
+    )
+
+
 def _conv1d(x: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
     """VALID 1-D convolution of (..., H, W) along `axis` (one of the last two
-    dims) as a shift-and-add over STATIC slices.
+    dims) as a banded-matrix contraction on the MXU.
 
     On TPU a single-channel lax.conv pads C=1 up to the MXU tile and runs
     ~50x off speed-of-light (profiled: the 18 tiny convs of the old
-    formulation cost ~27 ms/frame); k static slices + fused multiply-adds
-    are a pure VPU streaming op XLA fuses into one HBM pass.
+    formulation cost ~27 ms/frame); a deep static-slice shift-add chain is
+    VPU-fast but sends the remote XLA compile pathological (>10 min).  The
+    banded dense matmul is both: one MXU pass, trivial to compile.
     """
-    k = int(taps.shape[0])
-    tl = [float(v) for v in np.asarray(taps)]
     ax = x.ndim - 2 + axis
-    n = x.shape[ax] - k + 1
-    out = None
-    for j in range(k):
-        w = tl[k - 1 - j]  # conv semantics: kernel flipped vs correlation
-        if w == 0.0:
-            continue
-        s = jax.lax.slice_in_dim(x, j, j + n, axis=ax)
-        out = s * w if out is None else out + s * w
-    return out
+    B = _band_matrix(x.shape[ax], taps)
+    x32 = x.astype(jnp.float32)
+    if ax == x.ndim - 1:
+        return jax.lax.dot_general(
+            x32, B,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # Contract the row axis: out[..., i, w] = sum_h B[h, i] x[..., h, w].
+    out = jax.lax.dot_general(
+        x32, B,
+        dimension_numbers=(((ax,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (..., W, H_out) — contracted axis is replaced by B's column axis at the end
+    return jnp.swapaxes(out, -1, -2)
 
 
 def gaussian_blur7(img: jnp.ndarray) -> jnp.ndarray:
@@ -110,12 +129,17 @@ def quantize_color_gradient(
         dxs.append(dx)
         dys.append(dy)
         mags.append(dx * dx + dy * dy)
-    dx = jnp.stack(dxs, -1)
-    dy = jnp.stack(dys, -1)
-    mag = jnp.stack(mags, -1)
-    best = jnp.argmax(mag, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
-    dx, dy, mag2 = take(dx), take(dy), take(mag)
+    # Strongest channel per pixel WITHOUT gathers: take_along_axis lowers to
+    # a pointwise gather that costs ~15 ms/frame on TPU; a where-chain with
+    # first-max-wins tie-breaking (argmax semantics) is a fused VPU pass.
+    mag2 = mags[0]
+    for m in mags[1:]:
+        mag2 = jnp.maximum(mag2, m)
+    dx, dy = dxs[-1], dys[-1]
+    for c in range(C - 2, -1, -1):
+        hit = mags[c] == mag2
+        dx = jnp.where(hit, dxs[c], dx)
+        dy = jnp.where(hit, dys[c], dy)
 
     angle = jnp.degrees(jnp.arctan2(dy, dx))  # (-180, 180]
     angle = jnp.where(angle < 0, angle + 360.0, angle)
