@@ -51,11 +51,17 @@ def _merged_bank(n_templates: int, fmax: int, extent: int, n_mod: int, seed: int
     )
 
 
-def _time(fn, iters, *args):
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _time(fn, iters, *args, label=""):
     import jax
 
+    t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
+    _log(f"{label}: warmup/compile {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -215,19 +221,20 @@ def main() -> None:
 
     # Headline: batched RGB-D (dual-modality) match.
     match_rgbd, f1d, f0d, _ = _build_stages(n_templates, 2, T0, T1, E1, E0, top_k, thr)
-    dt = _time(match_rgbd, iters, rgbs, depths)
+    dt = _time(match_rgbd, iters, rgbs, depths, label=f"rgbd_batch{B}")
     rgbd_batch_fps = B / dt
     extra["batch"] = B
+    _log(f"rgbd_batch{B}: {rgbd_batch_fps:.1f} fps/chip")
 
     # Single-frame RGB-D.
-    dt = _time(match_rgbd, iters, rgbs[:1], depths[:1])
+    dt = _time(match_rgbd, iters, rgbs[:1], depths[:1], label="rgbd_single")
     extra["rgbd_single_fps"] = round(1.0 / dt, 2)
 
     # Single-frame and batched RGB-only (round-1 continuity).
     match_rgb, _, _, _ = _build_stages(n_templates, 1, T0, T1, E1, E0, top_k, thr)
-    dt = _time(match_rgb, iters, rgbs[:1], depths[:1])
+    dt = _time(match_rgb, iters, rgbs[:1], depths[:1], label="rgb_single")
     extra["rgb_single_fps"] = round(1.0 / dt, 2)
-    dt = _time(match_rgb, iters, rgbs, depths)
+    dt = _time(match_rgb, iters, rgbs, depths, label=f"rgb_batch{B}")
     extra["rgb_batch_fps"] = round(B / dt, 2)
 
     # End-to-end p50: match + cascade (pose clustering/render/ICP/HV).

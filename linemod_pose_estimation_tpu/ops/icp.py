@@ -134,6 +134,146 @@ def icp_schedule(
     return ICPResult(T_acc, fit, ninl, iters, conv)
 
 
+def _lm_step(cur: jnp.ndarray, tgt: jnp.ndarray, w: jnp.ndarray, lam: jnp.ndarray):
+    """One Levenberg-Marquardt solve on the point-to-point objective,
+    linearized about the identity with a twist (omega, t):
+        r_i = (cur_i + omega x cur_i + t) - tgt_i
+    Returns (delta (4,4), predicted new cost, J^T J condition scalars)."""
+    r = cur - tgt  # (N, 3)
+    # Jacobian blocks: dr/domega = -[cur]_x, dr/dt = I.
+    zeros = jnp.zeros_like(cur[:, 0])
+    cx = jnp.stack(
+        [
+            jnp.stack([zeros, cur[:, 2], -cur[:, 1]], axis=1),
+            jnp.stack([-cur[:, 2], zeros, cur[:, 0]], axis=1),
+            jnp.stack([cur[:, 1], -cur[:, 0], zeros], axis=1),
+        ],
+        axis=1,
+    )  # (N, 3, 3) = -[cur]_x rows
+    J = jnp.concatenate([cx, jnp.broadcast_to(jnp.eye(3), cx.shape)], axis=2)  # (N,3,6)
+    Jw = J * w[:, None, None]
+    JtJ = jnp.einsum("nij,nik->jk", Jw, J)
+    Jtr = jnp.einsum("nij,ni->j", Jw, r)
+    A = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-9 * jnp.eye(6)
+    delta = -jnp.linalg.solve(A, Jtr)
+    omega, t = delta[:3], delta[3:]
+    # Exponentiate the rotation (Rodrigues).
+    th = jnp.linalg.norm(omega) + 1e-12
+    k = omega / th
+    K = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]]
+    )
+    R = jnp.eye(3) + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "lm_iterations"))
+def icp_lm(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    max_iterations: int = 50,
+    max_corr_dist: float = 0.05,
+    rejection_dist: float = 0.02,
+    transform_epsilon: float = 1e-8,
+    lm_iterations: int = 3,
+) -> ICPResult:
+    """Levenberg-Marquardt ICP — pcl::IterativeClosestPointNonLinear
+    (rgbdDetector.cpp:1546-1553): per correspondence set, a damped
+    Gauss-Newton solve on the point-to-point objective with multiplicative
+    lambda adaptation (accept halves lambda, reject multiplies by 10),
+    instead of the closed-form Kabsch update.  Correspondence gating
+    follows PCL: nearest neighbour within max_corr_dist, then residuals
+    beyond the RANSAC outlier threshold are rejected.
+    """
+    corr2 = max_corr_dist * max_corr_dist
+    rej2 = rejection_dist * rejection_dist
+    scene_safe = jnp.where(scene_valid[:, None], scene_pts, 1e6)
+
+    def cost_of(T, cur, tgt, w):
+        moved = cur @ T[:3, :3].T + T[:3, 3]
+        return jnp.sum(jnp.sum((moved - tgt) ** 2, axis=1) * w) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+
+    def cond(state):
+        T, it, done, _, _, lam = state
+        return (it < max_iterations) & (~done)
+
+    def body(state):
+        T, it, _, _, _, lam = state
+        cur = model_pts @ T[:3, :3].T + T[:3, 3]
+        d2 = pairwise_sq_dists(cur, scene_safe)
+        nn = jnp.argmin(d2, axis=1)
+        nd2 = jnp.min(d2, axis=1)
+        # PCL-style two-stage gate: corr-dist first, then RANSAC rejection.
+        w = (model_valid & (nd2 < corr2) & (nd2 < rej2)).astype(jnp.float32)
+        tgt = scene_safe[nn]
+
+        def lm_body(carry, _):
+            lam_c, cost_c = carry
+            delta = _lm_step(cur, tgt, w, lam_c)
+            new_cost = cost_of(delta, cur, tgt, w)
+            accept = new_cost < cost_c
+            lam_n = jnp.where(accept, lam_c * 0.5, lam_c * 10.0)
+            return (lam_n, jnp.minimum(new_cost, cost_c)), (delta, accept)
+
+        cost0 = cost_of(jnp.eye(4), cur, tgt, w)
+        (lam_f, _), (deltas, accepts) = jax.lax.scan(
+            lm_body, (lam, cost0), None, length=lm_iterations
+        )
+        # Take the last accepted delta (identity if none accepted).
+        any_ok = jnp.any(accepts)
+        last = jnp.argmax(
+            jnp.where(accepts, jnp.arange(lm_iterations), -1)
+        )
+        delta = jnp.where(any_ok, deltas[last], jnp.eye(4))
+        Tn = delta @ T
+        dr = jnp.sum((delta[:3, :3] - jnp.eye(3)) ** 2)
+        dt = jnp.sum(delta[:3, 3] ** 2)
+        done = (dr + dt) < transform_epsilon
+        fit = jnp.sum(nd2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return (Tn, it + 1, done, fit, jnp.sum(w), lam_f)
+
+    state = (
+        jnp.eye(4), jnp.int32(0), jnp.array(False),
+        jnp.array(jnp.inf), jnp.array(0.0), jnp.array(1e-3),
+    )
+    T, it, done, fit, ninl, _ = jax.lax.while_loop(cond, body, state)
+    return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
+
+
+def icp_nonlinear_schedule(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+) -> ICPResult:
+    """The reference's icpNonLinearPoseRefine 3-pass schedule
+    (rgbdDetector.cpp:1546-1597): LM ICP at (50 it, corr 0.05, RANSAC 0.02,
+    eps 1e-8) -> (20, 0.02, 0.01) -> (10, 0.005, 0.01), pose composed
+    tf @ pose after each pass."""
+    stages = ((50, 0.05, 0.02), (20, 0.02, 0.01), (10, 0.005, 0.01))
+    T_acc = jnp.eye(4)
+    pts = model_pts
+    fit = jnp.array(jnp.inf)
+    ninl = jnp.array(0, jnp.int32)
+    iters = jnp.array(0, jnp.int32)
+    conv = jnp.array(False)
+    for max_it, corr, rej in stages:
+        r = icp_lm(
+            pts, model_valid, scene_pts, scene_valid,
+            max_iterations=max_it, max_corr_dist=corr, rejection_dist=rej,
+        )
+        pts = pts @ r.transform[:3, :3].T + r.transform[:3, 3]
+        T_acc = r.transform @ T_acc
+        fit, ninl, conv = r.fitness, r.num_inliers, conv | r.converged
+        iters = iters + r.iterations
+    return ICPResult(T_acc, fit, ninl, iters, conv)
+
+
 def icp_two_stage(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,

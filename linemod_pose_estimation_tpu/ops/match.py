@@ -134,6 +134,7 @@ def coarse_scores(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("C", "E"))
 def build_dense_weights(feats: LevelFeatures, C: int, E: int) -> jnp.ndarray:
     """One-hot conv weights (N, C, E, E) int8: W[n, ori, dy, dx] = 1 per
     feature.  The whole bank becomes a single convolution filter bank —
@@ -177,6 +178,7 @@ def coarse_scores_conv(R: jnp.ndarray, W_dense: jnp.ndarray, T: int) -> jnp.ndar
     return out[:, :Hc, :Wc]
 
 
+@partial(jax.jit, static_argnames=("C", "T", "Kc"))
 def build_gemm_weights(feats: LevelFeatures, C: int, T: int, Kc: int) -> jnp.ndarray:
     """One-hot GEMM weights (C*T*T*Kc*Kc, N) int8 for coarse_scores_gemm.
 

@@ -102,22 +102,21 @@ def spread_response(
 
 
 def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int, WR: int):
-    def kernel(oris_ref, dys_ref, dxs_ref, nf_ref, ay8_ref, ax128_ref,
-               fidx_ref, R_hbm, out_ref, patch, sem):
+    def kernel(oris_ref, dys_ref, dxs_ref, meta_ref, R_hbm, out_ref, patch, sem):
         k = pl.program_id(0)
         # (8, 128)-aligned patch DMA; the sub-tile residual is folded into
         # the per-feature offsets on the host side.  multiple_of lets Mosaic
         # prove the tiled-memref slice is aligned.
-        ay = pl.multiple_of(ay8_ref[k], 8)
-        ax = pl.multiple_of(ax128_ref[k], 128)
-        ch0 = pl.multiple_of(fidx_ref[k] * C, C)
+        ay = pl.multiple_of(meta_ref[k, 1], 8)
+        ax = pl.multiple_of(meta_ref[k, 2], 128)
+        ch0 = pl.multiple_of(meta_ref[k, 3] * C, C)
         dma = pltpu.make_async_copy(
             R_hbm.at[pl.ds(ch0, C), pl.ds(ay, PR), pl.ds(ax, PC)], patch, sem
         )
         dma.start()
         dma.wait()
 
-        nf = nf_ref[k]
+        nf = meta_ref[k, 0]
         acc = jnp.zeros((window, window), jnp.int32)
         for f in range(Fmax):
             o = oris_ref[k, f]
@@ -181,23 +180,51 @@ def refine_scores_pallas(
     dxs = cand_dxs + (anchor_x - ax128)[:, None]
     # Row-slab height: window + the 8-alignment residual of the row offset.
     WR = _round_up(window, 8) + 8
+    # Per-candidate scalar metadata row: (nf, ay8, ax128, frame_idx).
+    meta = jnp.stack(
+        [cand_nf, ay8, ax128, frame_idx.astype(jnp.int32)], axis=1
+    ).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, window, window), lambda k, *_: (k, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((C, PR, PC), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out = pl.pallas_call(
-        _refine_kernel(Fmax, C, PR, PC, window, WR),
-        out_shape=jax.ShapeDtypeStruct((K, window, window), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(cand_oris, dys, dxs, cand_nf, ay8, ax128, frame_idx.astype(jnp.int32), Rp)
-    return out
+    # Scalar-prefetch operands live in SMEM (1 MB): chunk the candidate axis
+    # so (3 * Kc_chunk * Fmax + 4 * Kc_chunk) * 4 bytes stays well under it
+    # (batched serving can pass B * top_k = thousands of candidates).
+    budget = 160_000  # int32 slots (~640 KB)
+    kc = max(1, min(K, budget // max(3 * Fmax + 4, 1)))
+    n_chunks = -(-K // kc)
+
+    def run_chunk(o_c, dy_c, dx_c, m_c):
+        Kc_ = o_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(Kc_,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, window, window), lambda k, *_: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((C, PR, PC), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            _refine_kernel(Fmax, C, PR, PC, window, WR),
+            out_shape=jax.ShapeDtypeStruct((Kc_, window, window), jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(o_c, dy_c, dx_c, m_c, Rp)
+
+    if n_chunks == 1:
+        return run_chunk(cand_oris, dys, dxs, meta)
+    pad = n_chunks * kc - K
+    padk = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+    outs = [
+        run_chunk(
+            padk(cand_oris)[i * kc : (i + 1) * kc],
+            padk(dys)[i * kc : (i + 1) * kc],
+            padk(dxs)[i * kc : (i + 1) * kc],
+            padk(meta)[i * kc : (i + 1) * kc],
+        )
+        for i in range(n_chunks)
+    ]
+    return jnp.concatenate(outs, axis=0)[:K]

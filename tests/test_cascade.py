@@ -191,3 +191,60 @@ def test_detect_return_stages_and_overlay(pipeline):
     img = pipe.draw_response(rgb, stages.matches)
     assert img.shape == rgb.shape
     assert (img != rgb).any()
+
+
+def test_cluster_member_cap_overflow_keeps_best():
+    """Capacity probe (round-1 weak spot): a vote cell with more members
+    than members_cap must keep the HIGHEST-similarity members (matches
+    arrive in descending-similarity order and the cell argsort is stable),
+    while score/count still reflect ALL members."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.models.cascade import cluster_matches
+    from linemod_pose_estimation_tpu.ops.match import Matches
+
+    K, cap = 32, 8
+    # All matches in one vote cell (same position bucket, same depth bin),
+    # similarities descending 99, 98, ...
+    sims = jnp.arange(99.0, 99.0 - K, -1.0)
+    m = Matches(
+        template_id=jnp.zeros((K,), jnp.int32),
+        x=jnp.full((K,), 40, jnp.int32),
+        y=jnp.full((K,), 40, jnp.int32),
+        similarity=sims,
+        valid=jnp.ones((K,), bool),
+    )
+    ori = jnp.array([0.7])
+    rects = jnp.array([[0, 0, 50, 60]], jnp.int32)
+    cs = cluster_matches(m, ori, rects, 0.5, 0.1, step=20, filter_thresh=2,
+                         max_cells=4, members_cap=cap)
+    assert bool(cs.valid[0])
+    assert int(cs.count[0]) == K  # full population counted
+    assert float(cs.score[0]) == float(jnp.mean(sims))  # scored over ALL
+    mi = cs.member_idx[0][cs.member_valid[0]]
+    kept = sorted(float(s) for s in sims[mi])
+    # the cap slots hold the top-`cap` similarities
+    assert kept == sorted(float(s) for s in sims[:cap])
+    assert int(jnp.sum(cs.member_valid[0])) == cap
+
+
+@pytest.mark.slow
+def test_renderer_parity_pinned_vs_shipped_bank():
+    """Pin the renderer's deviation against the shipped 2652-template bank
+    (E2 parity): bbox within 4 px and center depth within 2 mm of the
+    reference's recorded Rect / (Ori_dist - D) for spread template ids at
+    full 640x480 resolution.  Guards regressions of the current deviation
+    (round-1 weak #7)."""
+    meta, glob = TemplateBank.read_params_yaml(BANK)
+    r = Renderer(STL, glob.width, glob.height,
+                 glob.focal_length_x, glob.focal_length_y)
+    for tid in (0, 100, 2651):
+        out = r.render(meta.R[tid], meta.T[tid])
+        got = np.asarray(out.rect)
+        want = meta.Rect[tid]
+        assert np.abs(got - want).max() <= 4, (tid, got, want)
+        # Center-pixel depth vs Ori_dist - D (renderer.cpp:284-285).
+        cx, cy = got[0] + got[2] // 2, got[1] + got[3] // 2
+        d_mm = float(out.depth_mm[cy, cx])
+        want_mm = (meta.Ori_dist[tid] - meta.D[tid]) * 1000.0
+        assert abs(d_mm - want_mm) <= 2.0, (tid, d_mm, want_mm)

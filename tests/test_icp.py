@@ -77,3 +77,66 @@ def test_icp_respects_validity_masks(rng):
     )
     T = np.asarray(res.transform)
     np.testing.assert_allclose(T, np.eye(4), atol=1e-4)
+
+
+def test_icp_lm_recovers_pose(rng):
+    """LM (IterativeClosestPointNonLinear analog) converges on the same
+    point-to-point objective with PCL's strict corr-dist + RANSAC gating."""
+    model = make_model(rng)
+    R = rot([0.5, 0.2, 1.0], 7.0)
+    t = np.array([0.01, 0.006, -0.012], np.float32)
+    scene = (model @ R.T + t).astype(np.float32)
+    valid = np.ones(model.shape[0], bool)
+    res = I.icp_lm(
+        jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene), jnp.asarray(valid),
+        max_iterations=60, max_corr_dist=0.05, rejection_dist=0.02,
+    )
+    T = np.asarray(res.transform)
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(T[:3, :3])))
+    terr = np.linalg.norm(T[:3, 3] - t)
+    assert ang < 1.0, ang
+    assert terr < 0.002, terr
+
+
+def test_icp_nonlinear_schedule_matches_reference_passes(rng):
+    """The 3-pass icpNonLinearPoseRefine schedule (50/0.05 -> 20/0.02 ->
+    10/0.005, rgbdDetector.cpp:1546-1597) tightens to sub-mm fitness."""
+    model = make_model(rng)
+    R = rot([0.1, 0.9, 0.4], 6.0)
+    t = np.array([0.008, -0.01, 0.009], np.float32)
+    scene = (model @ R.T + t).astype(np.float32)
+    valid = np.ones(model.shape[0], bool)
+    res = I.icp_nonlinear_schedule(
+        jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene), jnp.asarray(valid)
+    )
+    T = np.asarray(res.transform)
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(T[:3, :3])))
+    assert ang < 0.5, ang
+    assert float(res.fitness) < 1e-6
+
+
+def test_icp_blended_vs_pcl_gate_deviation(rng):
+    """Quantify the round-1 deviation: icp()'s blended min(corr^2, 4*rej^2)
+    gate vs icp_lm's strict PCL gate (corr AND RANSAC) on a partial-overlap
+    cloud with outliers.  Both must land within 1.5 deg of truth and within
+    1 deg of each other (the deviation is bounded, not behavior-changing)."""
+    model = make_model(rng, n=300)
+    R = rot([0.2, 1.0, 0.1], 6.0)
+    t = np.array([0.01, 0.004, -0.008], np.float32)
+    scene = (model @ R.T + t).astype(np.float32)
+    # 15% outliers in the scene.
+    n_out = 45
+    scene[:n_out] = rng.uniform(-0.2, 0.2, size=(n_out, 3)).astype(np.float32)
+    valid = np.ones(model.shape[0], bool)
+    a = I.icp(jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene),
+              jnp.asarray(valid), max_iterations=100)
+    b = I.icp_lm(jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene),
+                 jnp.asarray(valid), max_iterations=60)
+    Ra = np.asarray(a.transform)[:3, :3]
+    Rb = np.asarray(b.transform)[:3, :3]
+    ang_a = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(Ra)))
+    ang_b = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(Rb)))
+    ang_ab = float(geo.rotation_geodesic_deg(jnp.asarray(Ra), jnp.asarray(Rb)))
+    assert ang_a < 1.5, ang_a
+    assert ang_b < 1.5, ang_b
+    assert ang_ab < 1.0, ang_ab

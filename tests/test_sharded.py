@@ -153,3 +153,31 @@ def test_bank_padding_dead_templates(rng, mesh8):
     assert padded.oris.shape[0] == 12
     assert not bool(np.asarray(padded.live[-1]).any())
     assert int(padded.count[-1]) == 0
+
+
+def test_frame_batcher_and_global_put(rng, mesh8):
+    """DCN ingest seam: FrameBatcher round-robins camera sources; the global
+    batch shards over the mesh "data" axis via
+    make_array_from_process_local_data (multi-host compatible)."""
+    from jax.sharding import PartitionSpec as P
+
+    from linemod_pose_estimation_tpu.api.service import Frame
+    from linemod_pose_estimation_tpu.parallel.ingest import FrameBatcher, put_global_batch
+
+    frames = [
+        Frame(rgb=np.full((8, 8, 3), i, np.uint8), cloud=np.zeros((8, 8, 3), np.float32))
+        for i in range(3)
+    ]
+    fb = FrameBatcher([lambda i=i: frames[i] for i in range(3)], batch=4)
+    rgbs, clouds = fb.next_batch()
+    assert rgbs.shape == (4, 8, 8, 3)
+    assert [int(r[0, 0, 0]) for r in rgbs] == [0, 1, 2, 0]
+    rgbs2, _ = fb.next_batch()  # round-robin continues
+    assert int(rgbs2[0, 0, 0, 0]) == 1
+
+    g_rgbs, g_depths = put_global_batch(mesh8, rgbs, clouds[..., 2])
+    assert g_rgbs.shape == (4, 8, 8, 3)
+    assert g_depths.shape == (4, 8, 8)
+    spec = g_rgbs.sharding.spec
+    assert spec[0] == "data"
+    np.testing.assert_array_equal(np.asarray(g_rgbs), rgbs)
