@@ -92,14 +92,19 @@ def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold):
         return pyr.grad_r0, pyr.grad_r1
 
     pre_b = jax.jit(jax.vmap(_pre))
+    # Position-major scores: N on the lane axis keeps every downstream
+    # elementwise pass at full VPU width (the (N, Hc, Wc) layout cost
+    # ~2.4 ms/frame in relayouts).
     coarse_b = jax.jit(
-        jax.vmap(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc), in_axes=(0, None))
+        lambda Rb, W: M.coarse_scores_gemm_flat_batched(Rb, W, T1, Kc)
     )
+    Hc, Wc = 480 // 2 // T1, 640 // 2 // T1
 
-    def _sel(raw, f1):
-        Hc, Wc = raw.shape[1:]
-        vpos = M.position_validity(f1.size, T1, Hc, Wc)
-        return M.select_candidates_approx(raw, f1.count, vpos, threshold - 5.0, top_k)
+    def _sel(raw_flat, f1):
+        vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+        return M.select_candidates_flat(
+            raw_flat, f1.count, vpos, threshold - 5.0, top_k, Wc
+        )
 
     sel_b = jax.jit(jax.vmap(_sel, in_axes=(0, None)))
     interp = jax.default_backend() == "cpu"  # Pallas: interpret off-TPU

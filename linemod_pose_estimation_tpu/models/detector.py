@@ -218,19 +218,37 @@ class Detector:
         E0 = bank.extent(0)
         feats1 = bank.merged_features(1)
         feats0 = bank.merged_features(0)
-        select = M.select_candidates_approx if approx_select else M.select_candidates
         if use_pallas_refine is None:
             use_pallas_refine = jax.default_backend() not in ("cpu",)
         refine = M.refine_candidates_pallas if use_pallas_refine else M.refine_candidates_slices
 
-        coarse = jax.jit(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc1))
+        # Position-major (Hc*Wc, N) scores (full-lane-width elementwise ops).
+        coarse = jax.jit(lambda R, W: M.coarse_scores_gemm_flat(R, W, T1, Kc1))
 
-        def _sel(raw, f1):
-            Hc, Wc = raw.shape[1:]
-            vpos = M.position_validity(f1.size, T1, Hc, Wc)
-            return select(raw, f1.count, vpos, threshold - 5.0, top_k)
+        def _sel_flat(raw_flat, f1, Hc, Wc):
+            vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+            if approx_select:
+                return M.select_candidates_flat(
+                    raw_flat, f1.count, vpos, threshold - 5.0, top_k, Wc
+                )
+            sim = jnp.where(
+                vpos,
+                100.0 * raw_flat.astype(jnp.float32)
+                / (4.0 * jnp.maximum(f1.count, 1)[None, :]),
+                -1.0,
+            )
+            vals, idx = jax.lax.top_k(sim.reshape(-1), min(top_k, sim.size))
+            N = raw_flat.shape[1]
+            pos = idx // N
+            return M.CoarseMatches(
+                (idx % N).astype(jnp.int32),
+                (pos // Wc).astype(jnp.int32),
+                (pos % Wc).astype(jnp.int32),
+                vals,
+                vals >= threshold - 5.0,
+            )
 
-        sel = jax.jit(_sel)
+        sel = jax.jit(_sel_flat, static_argnames=("Hc", "Wc"))
         ref = jax.jit(
             lambda R0, f0, cand: refine(R0, f0, cand, T1, threshold, E0=E0, fine_T=T0)
         )
@@ -242,7 +260,8 @@ class Detector:
             )
             R0, R1 = self._response_stacks(bank, pyr)
             raw = coarse(R1, W1)
-            cand = sel(raw, feats1)
+            Hc, Wc = R1.shape[1] // T1, R1.shape[2] // T1
+            cand = sel(raw, feats1, Hc, Wc)
             return ref(R0, feats0, cand)
 
         return fn

@@ -63,16 +63,21 @@ class BatchedMatcher:
             return R0, R1
 
         self._pre = jax.jit(jax.vmap(_pre))
+        # Position-major (Hc*Wc, N) scores: full-lane-width elementwise ops.
         self._coarse = jax.jit(
-            jax.vmap(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc1), in_axes=(0, None))
+            lambda Rb, W: M.coarse_scores_gemm_flat_batched(Rb, W, T1, Kc1)
         )
 
-        def _sel(raw, f1):
-            Hc, Wc = raw.shape[1:]
-            vpos = M.position_validity(f1.size, T1, Hc, Wc)
-            return M.select_candidates_approx(raw, f1.count, vpos, thr - 5.0, top_k)
+        def _sel(raw_flat, f1, Hc, Wc):
+            vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+            return M.select_candidates_flat(
+                raw_flat, f1.count, vpos, thr - 5.0, top_k, Wc
+            )
 
-        self._sel = jax.jit(jax.vmap(_sel, in_axes=(0, None)))
+        self._sel = jax.jit(
+            jax.vmap(_sel, in_axes=(0, None, None, None)),
+            static_argnames=("Hc", "Wc"),
+        )
         if jax.default_backend() == "cpu":
             self._refine = jax.jit(
                 jax.vmap(
@@ -100,7 +105,8 @@ class BatchedMatcher:
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         raw = self._coarse(R1, self.W1)
-        cands = self._sel(raw, self.feats1)
+        Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
+        cands = self._sel(raw, self.feats1, Hc, Wc)
         return self._refine(R0, cands, self.feats0)
 
     def match_batch_list(

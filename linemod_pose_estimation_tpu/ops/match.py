@@ -80,6 +80,33 @@ def merge_modalities(
     return LevelFeatures(offs, oris, live, count, size), R
 
 
+def linearize_responses_lanes(R: jnp.ndarray, T: int, max_cell_extent: int) -> jnp.ndarray:
+    """(C, H, W) response maps -> (Hc + Kc, Wc + Kc, C*T*T) planes with the
+    channel x subcell axis LAST (the 128-lane dimension; C*T*T is a multiple
+    of 128 for real modality counts), so the GEMM patch matrix assembles as
+    lane-aligned slice+concat instead of a pathological 4-D transpose."""
+    C, H, W = R.shape
+    Hc, Wc = H // T, W // T
+    Kc = max_cell_extent
+    Rc = R[:, : Hc * T, : Wc * T].reshape(C, Hc, T, Wc, T)
+    L = Rc.transpose(1, 3, 0, 2, 4).reshape(Hc, Wc, C * T * T)
+    return jnp.pad(L, [(0, Kc), (0, Kc), (0, 0)])
+
+
+def _gemm_patches(R: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
+    """(Hc*Wc, C*T*T*Kc*Kc) int8 patch matrix; column order matches
+    build_gemm_weights' row index ((qy*Kc + qx)*C + ori)*T*T + sub."""
+    C, H, W = R.shape
+    Hc, Wc = H // T, W // T
+    L = linearize_responses_lanes(R, T, Kc)
+    blocks = [
+        L[qy : qy + Hc, qx : qx + Wc, :]
+        for qy in range(Kc)
+        for qx in range(Kc)
+    ]
+    return jnp.concatenate(blocks, axis=-1).reshape(Hc * Wc, -1).astype(jnp.int8)
+
+
 def linearize_responses(R: jnp.ndarray, T: int, max_cell_extent: int) -> jnp.ndarray:
     """(C, H, W) response maps -> (C*T*T, Hc + Kc, Wc + Kc) planes.
 
@@ -199,31 +226,95 @@ def build_gemm_weights(feats: LevelFeatures, C: int, T: int, Kc: int) -> jnp.nda
 
 
 @partial(jax.jit, static_argnames=("T", "Kc"))
-def coarse_scores_gemm(R: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
-    """Raw scores (N, Hc, Wc) int32 as ONE MXU GEMM.
+def coarse_scores_gemm_flat(
+    R: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int
+) -> jnp.ndarray:
+    """Raw scores (Hc*Wc, N) int32 as ONE MXU GEMM — POSITION-MAJOR.
 
     The im2col is free: the linearized planes L[C*T*T, Hc+Kc, Wc+Kc] admit
     every cell shift (qy, qx) as a STATIC slice, so the patch matrix
     P[(Hc*Wc), C*T*T*Kc*Kc] is a stack of Kc^2 static views — XLA compiles
     this orders of magnitude faster than the equivalent big-kernel conv,
     and the contraction is a plain int8 x int8 -> int32 matmul.
+
+    The output keeps the GEMM's natural (positions, N) layout: N is the
+    lane dimension (a multiple of 128 for real banks), so every downstream
+    elementwise pass runs at full VPU width.  The (N, Hc, Wc) layout has a
+    41-lane-of-128 last dimension and costs a full relayout per op
+    (profiled: the similarity convert alone was 2.4 ms/frame that way).
     """
-    C, H, W = R.shape
-    Hc, Wc = H // T, W // T
-    L = linearize_responses(R, T, Kc)  # (C*T*T, Hc+Kc, Wc+Kc)
-    blocks = []
-    for qy in range(Kc):
-        for qx in range(Kc):
-            blocks.append(L[:, qy : qy + Hc, qx : qx + Wc])
-    # (Kc*Kc, C*T*T, Hc, Wc) -> (Hc*Wc, Kc*Kc * C*T*T)
-    P = jnp.stack(blocks, axis=0).transpose(2, 3, 0, 1).reshape(Hc * Wc, -1)
-    raw = jax.lax.dot_general(
-        P.astype(jnp.int8),
+    P = _gemm_patches(R, T, Kc)
+    return jax.lax.dot_general(
+        P,
         W_gemm,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (Hc*Wc, N)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm_flat_batched(
+    Rb: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int
+) -> jnp.ndarray:
+    """(B, C, H, W) response batch -> (B, Hc*Wc, N) int32 via ONE GEMM.
+
+    The frame batch folds into the GEMM's M dimension (B*Hc*Wc rows) —
+    one large contraction tiles the MXU better than B separate M=Hc*Wc
+    matmuls."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    P = jax.vmap(lambda R: _gemm_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
+    raw = jax.lax.dot_general(
+        P,
+        W_gemm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return raw.reshape(B, Hc * Wc, -1)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm(R: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
+    """Raw scores (N, Hc, Wc) int32 (template-major view of
+    coarse_scores_gemm_flat — prefer the flat form in hot paths)."""
+    C, H, W = R.shape
+    Hc, Wc = H // T, W // T
+    raw = coarse_scores_gemm_flat(R, W_gemm, T, Kc)
     return raw.T.reshape(-1, Hc, Wc)
+
+
+def position_validity_flat(size: jnp.ndarray, T: int, Hc: int, Wc: int) -> jnp.ndarray:
+    """(Hc*Wc, N) bool — position-major twin of position_validity."""
+    return position_validity(size, T, Hc, Wc).reshape(size.shape[0], -1).T
+
+
+@partial(jax.jit, static_argnames=("top_k", "Wc"))
+def select_candidates_flat(
+    raw_flat: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+    Wc: int,
+) -> CoarseMatches:
+    """Candidate selection over POSITION-MAJOR scores (Hc*Wc, N): one fused
+    full-lane-width convert+mask pass, then hardware approx_max_k.  Same
+    result set as select_candidates_approx on the (N, Hc, Wc) layout."""
+    P, N = raw_flat.shape
+    scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
+    sim = jnp.where(vpos_flat, raw_flat.astype(jnp.float32) * scale[None, :], -1.0)
+    flat = sim.reshape(-1)
+    k = min(top_k, flat.shape[0])
+    vals, idx = jax.lax.approx_max_k(flat, k)
+    t = idx % N
+    pos = idx // N
+    return CoarseMatches(
+        t.astype(jnp.int32),
+        (pos // Wc).astype(jnp.int32),
+        (pos % Wc).astype(jnp.int32),
+        vals,
+        vals >= threshold,
+    )
 
 
 @partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0"))

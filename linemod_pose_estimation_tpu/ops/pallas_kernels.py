@@ -123,14 +123,17 @@ def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int, WR: int):
             dy = dys_ref[k, f]
             dx = dxs_ref[k, f]
             # Row offset: Mosaic vector loads need sublane starts provably
-            # 8-aligned, so slice at the aligned base below dy and roll the
-            # small residual.  Rolling the (WR, PC) slab instead of the full
-            # (PR, PC) plane twice cuts the per-feature VPU traffic ~5x.
-            dy8 = pl.multiple_of((dy // 8) * 8, 8)
-            slab = patch[o, pl.ds(dy8, WR), :]
-            rolled = pltpu.roll(pltpu.roll(slab, -(dy - dy8), 0), -dx, 1)
-            sl = rolled[:window, :window].astype(jnp.int32)
-            acc = acc + jnp.where(f < nf, sl, 0)
+            # aligned to the dtype tile (32 rows for int8 — the patch stays
+            # int8 to quarter the per-candidate DMA), so slice at the
+            # aligned base below dy and roll the residual.  Rolling the
+            # (WR, PC) slab instead of the full (PR, PC) plane twice cuts
+            # the per-feature VPU traffic ~4x.
+            dy32 = pl.multiple_of((dy // 32) * 32, 32)
+            # Mosaic rotates only 32-bit data: widen the slab, then roll.
+            slab = patch[o, pl.ds(dy32, WR), :].astype(jnp.int32)
+            rows = pltpu.roll(slab, -(dy - dy32), 0)[:window, :]
+            rolled = pltpu.roll(rows, -dx, 1)
+            acc = acc + jnp.where(f < nf, rolled[:, :window], 0)
         out_ref[0, :, :] = acc
 
     return kernel
@@ -166,29 +169,32 @@ def refine_scores_pallas(
     K, Fmax = cand_oris.shape
     if frame_idx is None:
         frame_idx = jnp.zeros((K,), jnp.int32)
-    # Patch big enough for the 8/128 alignment residual + offsets + window.
-    PR = _round_up(8 + E0 + window, 8)
+    # Patch big enough for the 32/128 alignment residual + offsets + window
+    # (int8 tile = 32 sublanes x 128 lanes; the patch stays int8 to quarter
+    # the per-candidate DMA, the hot cost at batched candidate counts).
+    PR = _round_up(32 + E0 + window + 8, 32)
     PC = _round_up(128 + E0 + window, 128)
-    # int32 patches: Mosaic's dynamic rotate (used for the sub-tile offset)
-    # only supports 32-bit lanes.
-    Rp = jnp.pad(Rflat, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int32)
+    Rp = jnp.pad(Rflat, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int8)
 
     # Align the DMA base; fold residuals into the feature offsets.
-    ay8 = (anchor_y // 8) * 8
+    ay32 = (anchor_y // 32) * 32
     ax128 = (anchor_x // 128) * 128
-    dys = cand_dys + (anchor_y - ay8)[:, None]
+    dys = cand_dys + (anchor_y - ay32)[:, None]
     dxs = cand_dxs + (anchor_x - ax128)[:, None]
-    # Row-slab height: window + the 8-alignment residual of the row offset.
-    WR = _round_up(window, 8) + 8
-    # Per-candidate scalar metadata row: (nf, ay8, ax128, frame_idx).
+    # Row-slab height: window + the 32-alignment residual of the row offset.
+    WR = _round_up(window + 32, 32)
+    # Per-candidate scalar metadata row: (nf, ay32, ax128, frame_idx).
     meta = jnp.stack(
-        [cand_nf, ay8, ax128, frame_idx.astype(jnp.int32)], axis=1
+        [cand_nf, ay32, ax128, frame_idx.astype(jnp.int32)], axis=1
     ).astype(jnp.int32)
 
     # Scalar-prefetch operands live in SMEM (1 MB): chunk the candidate axis
     # so (3 * Kc_chunk * Fmax + 4 * Kc_chunk) * 4 bytes stays well under it
-    # (batched serving can pass B * top_k = thousands of candidates).
-    budget = 160_000  # int32 slots (~640 KB)
+    # (batched serving can pass B * top_k = thousands of candidates).  The
+    # compiler's real SMEM footprint is ~2.6x the raw operand bytes
+    # (measured: a 640 KB prefetch compiled to 1.63 MB SMEM use), so budget
+    # conservatively.
+    budget = 60_000  # int32 slots (~240 KB raw)
     kc = max(1, min(K, budget // max(3 * Fmax + 4, 1)))
     n_chunks = -(-K // kc)
 
@@ -203,7 +209,7 @@ def refine_scores_pallas(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((C, PR, PC), jnp.int32),
+                pltpu.VMEM((C, PR, PC), jnp.int8),
                 pltpu.SemaphoreType.DMA,
             ],
         )

@@ -154,6 +154,98 @@ def make_sharded_coarse_matcher(
     return jax.jit(fn)
 
 
+def make_row_sharded_matcher(
+    mesh: Mesh,
+    axis: str,
+    T1: int,
+    Kc1: int,
+    top_k: int,
+    threshold: float,
+    T0: int = 5,
+    E0: int = 96,
+    coarse_margin: float = 5.0,
+):
+    """Image-plane (sequence/context-parallel analog, SURVEY.md section 2.3):
+    shard the FRAME's rows over `axis` instead of the template bank — the
+    right layout for single-frame latency on very large frames, where the
+    position axis dwarfs the bank.
+
+    Each device scores the window positions whose anchor row falls in its
+    row stripe.  A template window extends T1*Kc1 rows past its anchor at
+    the coarse level (and E0+window rows at level 0), so each device pulls
+    that HALO from its lower neighbour with ONE `ppermute` over ICI before
+    scoring — the classic context-parallel halo exchange.  Per-shard top-k
+    then refinement on local rows, all-gather merge, identical results to
+    the single-device engine.
+
+    Inputs to the returned fn: R1 (C, H1, W1) and R0 (C, H0, W0) response
+    stacks sharded on their row axis [P(None, axis)], plus the REPLICATED
+    bank (W1 GEMM weights, feats1, feats0).  H1 must divide by
+    n_shards * T1.
+    """
+    n = mesh.shape[axis]
+    halo1 = T1 * Kc1  # coarse-level rows a window may read past its anchor
+    halo0 = E0 + 32   # level-0 rows refinement may read past its anchor
+
+    def local_match(R1_loc, R0_loc, W1, feats1, feats0):
+        # R1_loc: (C, H1/n, W1); R0_loc: (C, H0/n, W0)
+        idx = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % n) for i in range(n)]  # send first rows DOWN
+        halo_r1 = jax.lax.ppermute(R1_loc[:, :halo1, :], axis, perm)
+        # Device n-1 receives device 0's top rows — wrong frame region; its
+        # stripe ends at the image edge, so its halo must be zeros.
+        halo_r1 = jnp.where(idx == n - 1, jnp.zeros_like(halo_r1), halo_r1)
+        R1x = jnp.concatenate([R1_loc, halo_r1], axis=1)
+        halo_r0 = jax.lax.ppermute(R0_loc[:, :halo0, :], axis, perm)
+        halo_r0 = jnp.where(idx == n - 1, jnp.zeros_like(halo_r0), halo_r0)
+        R0x = jnp.concatenate([R0_loc, halo_r0], axis=1)
+
+        Hc_loc = R1_loc.shape[1] // T1  # anchor cells owned by this shard
+        raw = M.coarse_scores_gemm(R1x, W1, T1, Kc1)[:, :Hc_loc, :]
+        Hc, Wc = raw.shape[1:]
+        # Validity vs the GLOBAL image height: row offset re-based.
+        row0_cells = idx * Hc_loc
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 0) + row0_cells
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 1)
+        h = feats1.size[:, 0][:, None, None]
+        w = feats1.size[:, 1][:, None, None]
+        H1_tot = R1_loc.shape[1] * n
+        vpos = (ii[None] * T1 + h <= H1_tot) & (jj[None] * T1 + w <= Wc * T1)
+        cand = M.select_candidates(
+            raw, feats1.count, vpos, max(threshold - coarse_margin, 0.0), top_k
+        )
+        ref = M.refine_candidates_slices(
+            R0x, feats0, cand, T1, threshold, E0=E0, fine_T=T0
+        )
+        # Re-base to global pixel rows.
+        ref = M.Matches(
+            template_id=ref.template_id,
+            x=ref.x,
+            y=ref.y + idx * R0_loc.shape[1],
+            similarity=ref.similarity,
+            valid=ref.valid,
+        )
+        merged = _merge_topk(
+            M.Matches(*(a[None] for a in ref)), top_k, threshold, axis
+        )
+        return M.Matches(*(a[0] for a in merged))
+
+    fn = shard_map(
+        local_match,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(None, axis), P(),
+            M.LevelFeatures(P(), P(), P(), P(), P()),
+            M.LevelFeatures(P(), P(), P(), P(), P()),
+        ),
+        out_specs=M.Matches(
+            template_id=P(), x=P(), y=P(), similarity=P(), valid=P()
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_detect_step(
     mesh: Mesh,
     T1: int,

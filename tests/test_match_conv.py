@@ -119,3 +119,45 @@ def test_dense_weights_structure(rng):
             x = int(feats.offsets[n, f, 1])
             assert W[n, o, y, x] >= 1
         assert W[n].sum() == cnt
+
+
+def test_flat_layout_paths_match_template_major(rng):
+    """coarse_scores_gemm_flat / select_candidates_flat (position-major,
+    N on the lane axis) must produce the same scores and candidate set as
+    the template-major path."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import match as M
+
+    n, fmax, ext, T = 24, 16, 24, 8
+    Kc = (ext - 1) // T + 1
+    offs = rng.integers(0, ext, size=(n, fmax, 2)).astype(np.int32)
+    oris = rng.integers(0, 8, size=(n, fmax)).astype(np.int32)
+    cnt = rng.integers(8, fmax + 1, size=(n,)).astype(np.int32)
+    live = np.arange(fmax)[None, :] < cnt[:, None]
+    feats = M.LevelFeatures(
+        offsets=jnp.asarray(offs), oris=jnp.asarray(oris), live=jnp.asarray(live),
+        count=jnp.asarray(cnt), size=jnp.asarray(np.full((n, 2), ext, np.int32)),
+    )
+    R = jnp.asarray(rng.choice([0, 1, 2, 3, 4], size=(8, 64, 96)).astype(np.uint8))
+    W = M.build_gemm_weights(feats, 8, T, Kc)
+
+    raw_nhw = M.coarse_scores_gemm(R, W, T, Kc)
+    raw_flat = M.coarse_scores_gemm_flat(R, W, T, Kc)
+    Hc, Wc = raw_nhw.shape[1:]
+    np.testing.assert_array_equal(
+        np.asarray(raw_flat), np.asarray(raw_nhw).reshape(n, -1).T
+    )
+
+    vpos = M.position_validity(feats.size, T, Hc, Wc)
+    a = M.select_candidates(raw_nhw, feats.count, vpos, 0.0, 16)
+    vposf = M.position_validity_flat(feats.size, T, Hc, Wc)
+    b = M.select_candidates_flat(raw_flat, feats.count, vposf, 0.0, 16, Wc)
+    # approx_max_k on tiny input is exact; compare as sets of tuples
+    # (similarity rounded — raw/(4c)*100 vs raw*(100/(4c)) differ by 1 ulp).
+    rows = lambda c: sorted(
+        (round(float(c.similarity[i]), 3), int(c.template_id[i]),
+         int(c.cell_y[i]), int(c.cell_x[i]))
+        for i in range(16)
+    )
+    assert rows(a) == rows(b)

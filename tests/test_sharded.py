@@ -181,3 +181,55 @@ def test_frame_batcher_and_global_put(rng, mesh8):
     spec = g_rgbs.sharding.spec
     assert spec[0] == "data"
     np.testing.assert_array_equal(np.asarray(g_rgbs), rgbs)
+
+
+def test_row_sharded_matcher_equals_single_device(rng, mesh8):
+    """Context-parallel analog: frame rows sharded over the mesh with a
+    ppermute halo exchange must reproduce the single-device match exactly."""
+    import sys
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+    from linemod_pose_estimation_tpu.ops import match as M
+    from linemod_pose_estimation_tpu.parallel.sharded_match import (
+        make_row_sharded_matcher,
+    )
+
+    patch, mask = make_object_patch(rng)
+    H0, W0 = 256, 128
+    # Plant low in the image so the match spans a shard boundary.
+    src = plant((H0, W0, 3), patch, (150, 40))
+    src_mask = plant((H0, W0), mask, (150, 40))
+    det = Detector(DetectorParams(), engine="gather")
+    assert det.add_template(src, src_mask, "obj") == 0
+    bank = det.bank("obj")
+    T0, T1 = det.params.t_pyramid
+    Kc1 = bank.max_cell_extent(1)
+    E0 = bank.extent(0)
+    feats1, feats0 = bank.merged_features(1), bank.merged_features(0)
+    W1 = bank.gemm_weights(1)
+
+    pyr = M.preprocess_frame(jnp.asarray(src), None, T0=T0, T1=T1)
+    R0 = jax.device_put(pyr.grad_r0, NamedSharding(mesh8, P(None, "bank")))
+    R1 = jax.device_put(pyr.grad_r1, NamedSharding(mesh8, P(None, "bank")))
+    rep = lambda a: jax.device_put(a, NamedSharding(mesh8, P()))
+
+    matcher = make_row_sharded_matcher(
+        mesh8, "bank", T1, Kc1, top_k=8, threshold=90.0, T0=T0, E0=E0
+    )
+    mat = matcher(R1, R0, rep(W1), jax.tree.map(rep, feats1), jax.tree.map(rep, feats0))
+
+    ref = det.match(src, 90.0)["obj"]
+    assert len(ref) > 0
+    rbest = int(np.argmax(ref.similarity))
+    ok = np.asarray(mat.valid)
+    assert ok.any()
+    b = int(np.argmax(np.where(ok, np.asarray(mat.similarity), -1.0)))
+    assert float(mat.similarity[b]) >= float(ref.similarity[rbest]) - 1e-4
+    assert (int(mat.x[b]), int(mat.y[b])) == (int(ref.x[rbest]), int(ref.y[rbest]))

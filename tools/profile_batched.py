@@ -37,14 +37,14 @@ def main():
     R0f, R1f = pre1(rgbs[0], depths[0]); jax.block_until_ready(R1f); log("single-frame RGBD pre compiled")
     pre_b = jax.jit(jax.vmap(_pre))
     R0, R1 = pre_b(rgbs, depths); jax.block_until_ready(R1); log("batched pre compiled")
-    coarse1 = jax.jit(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc))
+    coarse1 = jax.jit(lambda R, W: M.coarse_scores_gemm_flat(R, W, T1, Kc))
     raw1 = coarse1(R1f, W1); jax.block_until_ready(raw1); log("single coarse RGBD compiled")
-    coarse_b = jax.jit(jax.vmap(lambda R, W: M.coarse_scores_gemm(R, W, T1, Kc), in_axes=(0,None)))
+    coarse_b = jax.jit(lambda Rb, W: M.coarse_scores_gemm_flat_batched(Rb, W, T1, Kc))
     raw = coarse_b(R1, W1); jax.block_until_ready(raw); log("batched coarse compiled")
+    Hc, Wc = 480 // 2 // T1, 640 // 2 // T1
     def _sel(rawf, f1):
-        Hc, Wc = rawf.shape[1:]
-        vpos = M.position_validity(f1.size, T1, Hc, Wc)
-        return M.select_candidates_approx(rawf, f1.count, vpos, thr-5.0, top_k)
+        vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+        return M.select_candidates_flat(rawf, f1.count, vpos, thr-5.0, top_k, Wc)
     sel_b = jax.jit(jax.vmap(_sel, in_axes=(0,None)))
     cand = sel_b(raw, feats1); jax.block_until_ready(cand.similarity); log("batched sel compiled")
     refine_b = jax.jit(lambda R0_, c, f0: M.refine_candidates_pallas_batched(R0_, f0, c, T1, thr, E0=E0, fine_T=T0))
