@@ -64,6 +64,9 @@ def _cascade_args(p: argparse.ArgumentParser) -> None:
                    help="Ensenso 752->640 crop offset (service.cpp:212)")
     p.add_argument("--canonicalize", choices=["x_front", "z_down", "none"],
                    default="x_front")
+    p.add_argument("--icp-variant", choices=["two_stage", "nonlinear"],
+                   default="two_stage",
+                   help="icpPoseRefine vs icpNonLinearPoseRefine (LM)")
     # Static device capacities (CascadeParams); smaller values compile and
     # run faster on small scenes.
     p.add_argument("--max-clusters", type=int, default=4)
@@ -84,6 +87,7 @@ def _cascade_from_args(a) -> "CascadeParams":
         icp_ransac_thresh=a.icp_ransac_thresh,
         bias_x=a.bias_x,
         canonicalize=a.canonicalize,
+        icp_variant=a.icp_variant,
         max_clusters=a.max_clusters,
         model_cap=a.model_cap,
         scene_cap=a.scene_cap,

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.icp import icp_two_stage
+from ..ops.icp import icp_nonlinear_schedule, icp_two_stage
 from ..ops.match import Matches
 from ..utils import geometry as geo
 from ..utils import pointcloud as pcu
@@ -54,6 +54,10 @@ class CascadeParams:
     icp_fine_iter: int = 20
     icp_fine_corr_dist: float = 0.01
     icp_fine_ransac: float = 0.01
+    # "two_stage" = icpPoseRefine (coarse+fine Kabsch); "nonlinear" =
+    # icpNonLinearPoseRefine's 3-pass Levenberg-Marquardt schedule
+    # (rgbdDetector.cpp:1508-1600)
+    icp_variant: str = "two_stage"
     # Cloud conditioning (hard-coded, rgbdDetector.cpp:842-850)
     sor_mean_k: int = 50
     sor_std_mul: float = 1.0
@@ -427,17 +431,24 @@ def rough_pose_and_refine(
     pose0 = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + tshift)
     model_pts_t = model_pts + tshift[None, :]
 
-    # ICP (coarse + fine) — pose = tf @ pose (cpp:1328-1331, 1363-1368).
-    icp_res = icp_two_stage(
-        model_pts_t, model_valid, scene_pts, scene_valid,
-        coarse_iterations=params.icp_max_iter,
-        coarse_corr_dist=params.icp_max_corr_dist,
-        coarse_rejection=params.icp_ransac_thresh,
-        transform_epsilon=params.icp_tr_epsilon,
-        fine_iterations=params.icp_fine_iter,
-        fine_corr_dist=params.icp_fine_corr_dist,
-        fine_rejection=params.icp_fine_ransac,
-    )
+    # ICP (coarse + fine) — pose = tf @ pose (cpp:1328-1331, 1363-1368);
+    # the "nonlinear" variant runs the 3-pass LM schedule instead
+    # (icpNonLinearPoseRefine, cpp:1508-1600).
+    if params.icp_variant == "nonlinear":
+        icp_res = icp_nonlinear_schedule(
+            model_pts_t, model_valid, scene_pts, scene_valid
+        )
+    else:
+        icp_res = icp_two_stage(
+            model_pts_t, model_valid, scene_pts, scene_valid,
+            coarse_iterations=params.icp_max_iter,
+            coarse_corr_dist=params.icp_max_corr_dist,
+            coarse_rejection=params.icp_ransac_thresh,
+            transform_epsilon=params.icp_tr_epsilon,
+            fine_iterations=params.icp_fine_iter,
+            fine_corr_dist=params.icp_fine_corr_dist,
+            fine_rejection=params.icp_fine_ransac,
+        )
     pose = icp_res.transform @ pose0
     model_final = model_pts_t @ icp_res.transform[:3, :3].T + icp_res.transform[:3, 3]
 

@@ -57,9 +57,16 @@ def render(
     width: int,
     height: int,
     chunk: int = 64,
+    coverage_grow: float = 0.5,
 ) -> RenderOutput:
     """Rasterize `triangles` (Tn, 3, 3 — pad count to a multiple of `chunk`)
-    under pose (R, T_bank) and intrinsics K."""
+    under pose (R, T_bank) and intrinsics K.
+
+    `coverage_grow` dilates triangle coverage by that many pixels of signed
+    edge distance (conservative rasterization).  The reference's GL
+    renderer produces masks ~1 px fatter per side than exact center
+    sampling (the shipped bank's Rects are consistently x+1/w+2/h+2 vs our
+    exact silhouette); 0.5 px of growth reproduces its bounding boxes."""
     Tn = triangles.shape[0]
     assert Tn % chunk == 0, "pad triangle count to a multiple of chunk"
 
@@ -98,7 +105,24 @@ def render(
         w2 = (x1 - x0) * (py[None] - y0) - (y1 - y0) * (px[None] - x0)
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (chunk, 1, 1)
 
-        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        # Conservative coverage: w/len is the signed pixel distance to the
+        # edge, so growing by g pixels accepts w >= -g*len (mirrored for
+        # negative-orientation triangles).
+        g = coverage_grow
+        l0 = jnp.hypot(x2 - x1, y2 - y1)
+        l1 = jnp.hypot(x0 - x2, y0 - y2)
+        l2 = jnp.hypot(x1 - x0, y1 - y0)
+        pos = (w0 >= -g * l0) & (w1 >= -g * l1) & (w2 >= -g * l2)
+        neg = (w0 <= g * l0) & (w1 <= g * l1) & (w2 <= g * l2)
+        # Clamp growth to the triangle's own (grown) bbox: sliver/edge-on
+        # triangles' three edge lines nearly coincide, and the +-g band
+        # around that line would otherwise paint a full-image stripe.
+        xmin = jnp.minimum(jnp.minimum(x0, x1), x2) - g
+        xmax = jnp.maximum(jnp.maximum(x0, x1), x2) + g
+        ymin = jnp.minimum(jnp.minimum(y0, y1), y2) - g
+        ymax = jnp.maximum(jnp.maximum(y0, y1), y2) + g
+        inb = (px[None] >= xmin) & (px[None] <= xmax) & (py[None] >= ymin) & (py[None] <= ymax)
+        inside = (pos | neg) & inb
         ok = inside & (jnp.abs(area) > 1e-12) & (~skip[:, None, None])
 
         # Perspective-correct depth: interpolate 1/z with barycentrics.
@@ -109,8 +133,14 @@ def render(
             + b1 * (1.0 / jnp.maximum(zz[:, 1, None, None], 1e-9))
             + b2 * (1.0 / jnp.maximum(zz[:, 2, None, None], 1e-9))
         )
-        zpix = 1.0 / jnp.maximum(inv_z, 1e-9)
-        zpix = jnp.where(ok, zpix, jnp.inf)
+        # Grown pixels extrapolate barycentrics slightly outside the
+        # triangle; clamp the interpolated depth to the triangle's own z
+        # range (an extrapolated closer-than-the-triangle depth would
+        # corrupt the z-buffer) and treat non-positive 1/z as a miss.
+        ztri_min = jnp.min(zz, axis=1)[:, None, None]
+        ztri_max = jnp.max(zz, axis=1)[:, None, None]
+        zpix = jnp.clip(1.0 / jnp.maximum(inv_z, 1e-9), ztri_min, ztri_max)
+        zpix = jnp.where(ok & (inv_z > 1e-9), zpix, jnp.inf)
 
         # Min-depth over the chunk, then merge into the carry z-buffer.
         best = jnp.argmin(zpix, axis=0)

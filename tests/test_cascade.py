@@ -248,3 +248,88 @@ def test_renderer_parity_pinned_vs_shipped_bank():
         d_mm = float(out.depth_mm[cy, cx])
         want_mm = (meta.Ori_dist[tid] - meta.D[tid]) * 1000.0
         assert abs(d_mm - want_mm) <= 2.0, (tid, d_mm, want_mm)
+
+
+@pytest.mark.slow
+def test_full_cascade_rgbd_modality(pipeline):
+    """BASELINE config 'depth-normal modality + ICP': train a dual-modality
+    (ColorGradient + DepthNormal) bank and run the full cascade with the
+    depth image feeding the normal responses (carmine's 2-modality match,
+    linemod_carmine_detect.cpp:330)."""
+    _, r, meta, kept = pipeline
+    det = Detector(DetectorParams(use_depth_normal=True))
+    ids = []
+    for i in range(len(kept)):
+        out = r.render(meta.R[i], meta.T[i])
+        tid = det.add_template(
+            np.asarray(out.rgb), np.asarray(out.mask), "boxNew",
+            depth_mm=np.asarray(out.depth_mm),
+        )
+        if tid >= 0:
+            ids.append(i)
+    assert len(ids) >= 2
+    meta2 = TemplateMetadata(
+        R=meta.R[ids], T=meta.T[ids], K=meta.K[ids], D=meta.D[ids],
+        Ori_dist=meta.Ori_dist[ids], Rect=meta.Rect[ids],
+    )
+    glob2 = TemplateBank.read_params_yaml(BANK)[1]
+    glob2.width, glob2.height = W, H
+    glob2.focal_length_x /= 4
+    glob2.focal_length_y /= 4
+    params = CC.CascadeParams(
+        canonicalize="none", max_clusters=2, model_cap=512, scene_cap=512,
+        icp_max_iter=40, cluster_filter_thresh=0,
+    )
+    pipe = DetectionPipeline(det, meta2, glob2, STL, params, render_size=(W, H))
+
+    out = r.render(meta2.R[0], meta2.T[0])
+    rgb = np.asarray(out.rgb)
+    depth_mm = np.asarray(out.depth_mm)
+    cloud = np.asarray(pcu.depth_to_cloud(depth_mm / 1000.0, r.K))
+    dets = pipe.detect(rgb, cloud, threshold=85.0, depth_mm=depth_mm)
+    assert len(dets) >= 1
+    d = dets[0]
+    R_gt = meta2.R[0]
+    t_gt = R_gt @ meta2.T[0]
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
+    terr = np.linalg.norm(d.pose[:3, 3] - t_gt)
+    assert ang < 5.0, f"rotation error {ang} deg"
+    assert terr < 0.01, f"translation error {terr} m"
+
+
+@pytest.mark.slow
+def test_full_cascade_nonlinear_icp_variant(pipeline):
+    """icp_variant='nonlinear' (the icpNonLinearPoseRefine 3-pass LM
+    schedule) recovers the pose through the full cascade too."""
+    _, r, meta, kept = pipeline
+    det = Detector(DetectorParams())
+    ids = []
+    for i in range(len(kept)):
+        out = r.render(meta.R[i], meta.T[i])
+        if det.add_template(np.asarray(out.rgb), np.asarray(out.mask), "boxNew") >= 0:
+            ids.append(i)
+    meta2 = TemplateMetadata(
+        R=meta.R[ids], T=meta.T[ids], K=meta.K[ids], D=meta.D[ids],
+        Ori_dist=meta.Ori_dist[ids], Rect=meta.Rect[ids],
+    )
+    glob2 = TemplateBank.read_params_yaml(BANK)[1]
+    glob2.width, glob2.height = W, H
+    glob2.focal_length_x /= 4
+    glob2.focal_length_y /= 4
+    params = CC.CascadeParams(
+        canonicalize="none", max_clusters=2, model_cap=512, scene_cap=512,
+        cluster_filter_thresh=0, icp_variant="nonlinear",
+    )
+    pipe = DetectionPipeline(det, meta2, glob2, STL, params, render_size=(W, H))
+    out = r.render(meta2.R[0], meta2.T[0])
+    cloud = np.asarray(pcu.depth_to_cloud(np.asarray(out.depth_mm) / 1000.0, r.K))
+    dets = pipe.detect(np.asarray(out.rgb), cloud, threshold=85.0)
+    assert len(dets) >= 1
+    d = dets[0]
+    R_gt = meta2.R[0]
+    t_gt = R_gt @ meta2.T[0]
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
+    assert ang < 5.0
+    # LM's strict final pass (corr 0.005) tolerates a slightly looser
+    # landing on this low-res synthetic than the Kabsch two-stage path.
+    assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
