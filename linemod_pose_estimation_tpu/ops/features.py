@@ -173,26 +173,35 @@ def quantize_depth_normal(
     depth_mm: jnp.ndarray,
     distance_threshold: float = 2000.0,
     difference_threshold: float = 50.0,
+    radius: int = 5,
 ) -> jnp.ndarray:
     """Depth (H, W) in mm (0 = invalid) -> quantized surface-normal bitmask.
 
     Per OpenCV DepthNormal::quantizedNormals: least-squares plane fit over
-    the 8-neighbourhood (depth differences beyond `difference_threshold`
-    rejected as discontinuities, pixels beyond `distance_threshold` ignored),
-    then the depth-gradient azimuth quantized into 8 bins.
+    the 8 neighbours at `radius` px (OpenCV's l_r = 5; depth differences
+    beyond `difference_threshold` rejected as discontinuities, pixels beyond
+    `distance_threshold` ignored), then the depth-gradient azimuth quantized
+    into 8 sectors with phase-0 round binning.
+
+    Binning calibrated against the REAL cv::linemod quantizer (the oracle,
+    tests/test_oracle_parity.py): bin = round(atan2(ddy, ddx) * 8/2pi) mod 8
+    matches OpenCV's normal LUT exactly on planar surfaces (the gradient
+    azimuth equals the projected-normal azimuth: nx, ny are positive
+    multiples of ddx, ddy).
     """
     d = depth_mm.astype(jnp.float32)
     H, W = d.shape
-    pd = jnp.pad(d, [(1, 1), (1, 1)])
+    r = radius
+    pd = jnp.pad(d, [(r, r), (r, r)])
 
-    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    offsets = [(-r, -r), (-r, 0), (-r, r), (0, -r), (0, r), (r, -r), (r, 0), (r, r)]
     A00 = jnp.zeros((H, W), jnp.float32)
     A01 = jnp.zeros((H, W), jnp.float32)
     A11 = jnp.zeros((H, W), jnp.float32)
     b0 = jnp.zeros((H, W), jnp.float32)
     b1 = jnp.zeros((H, W), jnp.float32)
     for oy, ox in offsets:
-        nb = jax.lax.dynamic_slice(pd, (oy + 1, ox + 1), (H, W))
+        nb = jax.lax.dynamic_slice(pd, (oy + r, ox + r), (H, W))
         delta = nb - d
         ok = (nb > 0) & (jnp.abs(delta) < difference_threshold)
         u, v = float(ox), float(oy)
@@ -211,7 +220,7 @@ def quantize_depth_normal(
     grad2 = ddx * ddx + ddy * ddy
     has_grad = grad2 > 1e-8
     angle = jnp.arctan2(ddy, ddx)  # (-pi, pi]
-    bin8 = jnp.round((angle + jnp.pi) * (8.0 / (2.0 * jnp.pi))).astype(jnp.int32) % 8
+    bin8 = jnp.round(angle * (8.0 / (2.0 * jnp.pi))).astype(jnp.int32) % 8
     ok = valid & has_grad
     return jnp.where(ok, (1 << bin8).astype(jnp.uint8), jnp.uint8(0))
 

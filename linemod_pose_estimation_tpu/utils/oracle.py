@@ -67,6 +67,11 @@ def _get_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.lpe_oracle_quantize.restype = ctypes.c_int
+    lib.lpe_oracle_quantize.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -145,6 +150,29 @@ class LinemodOracle:
     @property
     def pyramid_levels(self) -> int:
         return self._lib.lpe_oracle_pyramid_levels(self._h)
+
+    def quantize(self, rgb: np.ndarray | None, modality: int = 0,
+                 depth_mm: np.ndarray | None = None) -> np.ndarray:
+        """cv::linemod's level-0 quantized orientation bitmask (the one-hot
+        u8 image before spreading) for ColorGradient (0) or DepthNormal (1).
+        """
+        if modality == 0:
+            rgb = np.ascontiguousarray(rgb, np.uint8)
+            h, w = rgb.shape[:2]
+            rgb_ptr = rgb.ctypes.data
+            dep_ptr = None
+        else:
+            dep = np.ascontiguousarray(depth_mm, np.uint16)
+            h, w = dep.shape
+            rgb_ptr = None
+            dep_ptr = dep.ctypes.data
+        out = np.zeros((h, w), np.uint8)
+        rc = self._lib.lpe_oracle_quantize(
+            self._h, modality, rgb_ptr, h, w, dep_ptr, out.ctypes.data
+        )
+        if rc != 0:
+            raise RuntimeError(f"oracle quantize failed: {rc}")
+        return out
 
     def template(self, tid: int, idx: int, cap: int = 256):
         """Features [(x, y, label)] + (width, height) of pyramid entry idx

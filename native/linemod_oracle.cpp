@@ -168,4 +168,29 @@ int lpe_oracle_template(void* h, int tid, int idx, int32_t* out, int cap,
   return n;
 }
 
+// Quantized image of modality `mod` (0 = ColorGradient, 1 = DepthNormal)
+// at pyramid level 0: the one-hot orientation bitmask cv::linemod builds
+// before spreading.  Returns 0 on success.
+int lpe_oracle_quantize(void* h, int mod, const uint8_t* rgb, int height,
+                        int width, const uint16_t* depth, uint8_t* out) {
+  Oracle* o = static_cast<Oracle*>(h);
+  const std::vector<cv::Ptr<cv::linemod::Modality>>& mods =
+      o->det->getModalities();
+  if (mod < 0 || mod >= static_cast<int>(mods.size())) return -1;
+  cv::Mat src;
+  if (mod == 0)
+    src = cv::Mat(height, width, CV_8UC3, const_cast<uint8_t*>(rgb));
+  else if (depth)
+    src = cv::Mat(height, width, CV_16UC1, const_cast<uint16_t*>(depth));
+  else
+    return -2;
+  cv::Ptr<cv::linemod::QuantizedPyramid> qp =
+      mods[mod]->process(src, cv::Mat());
+  cv::Mat q;
+  qp->quantize(q);
+  if (q.rows != height || q.cols != width || q.type() != CV_8UC1) return -3;
+  std::memcpy(out, q.data, static_cast<size_t>(height) * width);
+  return 0;
+}
+
 }  // extern "C"

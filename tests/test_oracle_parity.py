@@ -156,3 +156,48 @@ def test_match_parity_own_extractions(rng):
     ub = int(np.argmax(ours.similarity))
     assert abs(int(xyt[ob][0]) - int(ours.x[ub])) <= 4
     assert abs(int(xyt[ob][1]) - int(ours.y[ub])) <= 4
+
+
+def test_quantization_parity_color(rng):
+    """Our ColorGradient quantizer vs the real cv::linemod one: same
+    orientation bit on >=99% of commonly-quantized pixels."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import features as F
+
+    cells = rng.integers(0, 255, size=(30, 40, 3), dtype=np.uint8)
+    rgb = np.repeat(np.repeat(cells, 8, 0), 8, 1)  # (240, 320, 3)
+    o = ORC.LinemodOracle()
+    q_cv = o.quantize(rgb)
+    q_us = np.asarray(F.quantize_color_gradient(jnp.asarray(rgb), 10.0)[0])
+    both = (q_cv != 0) & (q_us != 0)
+    assert both.mean() > 0.3
+    agree = (q_cv[both] == q_us[both]).mean()
+    assert agree >= 0.99, agree
+    iou = both.sum() / ((q_cv != 0) | (q_us != 0)).sum()
+    assert iou >= 0.9, iou
+
+
+def test_quantization_parity_depth(rng):
+    """Our DepthNormal quantizer vs the real one: exact on planes (the
+    oracle pinned the bin phase + the radius-5 support), >=85% on curved
+    surfaces where estimator details differ."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import features as F
+
+    o = ORC.LinemodOracle(use_depth=True)
+
+    def agreement(depth):
+        depth = depth.astype(np.uint16)
+        q_cv = o.quantize(None, modality=1, depth_mm=depth)
+        q_us = np.asarray(
+            F.quantize_depth_normal(jnp.asarray(depth.astype(np.float32)))
+        )
+        both = (q_cv != 0) & (q_us != 0)
+        return (q_cv[both] == q_us[both]).mean()
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    assert agreement(800 + 0.8 * xs + 1.3 * ys) == 1.0
+    assert agreement(800 + 40 * np.sin(ys / 17) * np.cos(xs / 23)) >= 0.9
+    assert agreement(900 - 0.002 * ((xs - 160) ** 2 + (ys - 120) ** 2)) >= 0.8
