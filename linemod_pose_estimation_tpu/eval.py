@@ -107,6 +107,56 @@ def evaluate_pose(pipeline, renderer, meta, view_ids, threshold=85.0) -> list[Ev
     return cases
 
 
+def evaluate_vs_opencv(detector, renderer, meta, view_ids, threshold=85.0,
+                       class_id: str | None = None) -> dict:
+    """Head-to-head vs the GENUINE cv::linemod engine on rendered objects.
+
+    The trained bank bridges to a real cv::linemod::Detector through the
+    yml interchange (identical templates), then both engines match the same
+    re-rendered scenes; reports per-view |score delta| and |position delta|
+    distributions.  Requires the oracle (utils.oracle); frame dims must be
+    divisible by 5 and 16 (cv::linemod's pyramid constraint).
+    """
+    import tempfile
+
+    import numpy as np
+
+    from .utils import oracle as ORC
+
+    if not ORC.available():
+        return {"available": False}
+    cid = class_id or detector.class_ids[0]
+    path = tempfile.mktemp(suffix=".yml")
+    detector.write(path, cid)
+    orc = ORC.LinemodOracle.read(path)
+
+    score_d, px_d, agree = [], [], 0
+    for vid in view_ids:
+        out = renderer.render(meta.R[vid], meta.T[vid])
+        rgb = np.asarray(out.rgb)
+        xyt, sim = orc.match(rgb, threshold)
+        ours = detector.match(rgb, threshold, class_ids=[cid])[cid]
+        if (len(sim) == 0) != (len(ours) == 0):
+            continue  # disagreement on hit/miss — counted by agree below
+        agree += 1
+        if len(sim) == 0:
+            continue
+        ob = int(np.argmax(sim))
+        ub = int(np.argmax(ours.similarity))
+        score_d.append(abs(float(sim[ob]) - float(ours.similarity[ub])))
+        px_d.append(
+            float(np.hypot(float(xyt[ob][0]) - float(ours.x[ub]),
+                           float(xyt[ob][1]) - float(ours.y[ub])))
+        )
+    return {
+        "available": True,
+        "n": len(view_ids),
+        "hit_miss_agreement": agree / max(len(view_ids), 1),
+        "score_delta": _stats(score_d),
+        "px_delta": _stats(px_d),
+    }
+
+
 def summarize(match_cases: list[EvalCase], pose_cases: list[EvalCase]) -> dict:
     return {
         "match": {

@@ -25,14 +25,15 @@ from linemod_pose_estimation_tpu.models.templates import (
 
 BANK = "/root/reference/config/data/boxNew_longDistance_linemod_xtion_renderer_params.yml"
 STL = "/root/reference/config/stl/boxNew.stl"
-W, H = 160, 120
+# Divisible by 5 and 16: lets the cv::linemod oracle run on the same frames.
+W, H = 320, 240
 
 
 def main(out_path: str = "ACCURACY.json") -> None:
     meta_full, glob = TemplateBank.read_params_yaml(BANK)
     glob.width, glob.height = W, H
-    glob.focal_length_x /= 4
-    glob.focal_length_y /= 4
+    glob.focal_length_x /= 2
+    glob.focal_length_y /= 2
     r = Renderer(STL, W, H, glob.focal_length_x, glob.focal_length_y)
     ids = [40, 41, 42, 43, 44, 50, 60, 70, 80, 90]
     det = Detector(DetectorParams())
@@ -56,6 +57,9 @@ def main(out_path: str = "ACCURACY.json") -> None:
     mcases = EV.evaluate_match_px(det, r, meta, view_ids, threshold=85.0)
     pcases = EV.evaluate_pose(pipe, r, meta, view_ids[:5], threshold=85.0)
     s = EV.summarize(mcases, pcases)
+    # Head-to-head vs the genuine cv::linemod engine (identical templates
+    # through the yml bridge) on the same rendered scenes.
+    s["vs_opencv"] = EV.evaluate_vs_opencv(det, r, meta, view_ids, threshold=85.0)
     s["config"] = {
         "bank": "boxNew (shipped reference bank poses)",
         "render": f"{W}x{H}",
