@@ -419,6 +419,44 @@ class TemplateBank:
         oy.dump(doc, path)
 
     @staticmethod
+    def write_render_dump(
+        path: str,
+        depths_mm: list[np.ndarray],
+        masks: list[np.ndarray],
+        rects: list[tuple[int, int, int, int]],
+    ) -> None:
+        """writeLinemodRender analog (renderer.cpp:125-146): per-template
+        rendered depth (u16 mm), mask (u8) and Rect, as `Template i ->
+        {ID, Depth, Mask, Rect}` FileStorage nodes.  Unused by the reference
+        pipeline but part of its trainer surface."""
+        doc: dict = {}
+        for i, (d, m, rc) in enumerate(zip(depths_mm, masks, rects)):
+            doc[f"Template {i}"] = {
+                "ID": i,
+                "Depth": oy.CvMatrix(np.asarray(d, np.uint16)),
+                "Mask": oy.CvMatrix(np.asarray(m, np.uint8)),
+                "Rect": [int(v) for v in rc],
+            }
+        oy.dump(doc, path)
+
+    @staticmethod
+    def read_render_dump(path: str):
+        """Read a writeLinemodRender-format dump back: lists of (depth_mm,
+        mask, rect)."""
+        doc = oy.load(path)
+        out = []
+        i = 0
+        while f"Template {i}" in doc:
+            t = doc[f"Template {i}"]
+            out.append((
+                np.asarray(t["Depth"], np.uint16),
+                np.asarray(t["Mask"], np.uint8),
+                tuple(int(v) for v in t["Rect"]),
+            ))
+            i += 1
+        return out
+
+    @staticmethod
     def read_params_yaml(path: str) -> tuple[TemplateMetadata, RendererGlobals]:
         """Parse a renderer_params.yml (ours or the reference's shipped
         banks — readLinemodTemplateParams, rgbdDetector.cpp:1694-1749).

@@ -168,3 +168,29 @@ def test_written_bank_feature_order_is_opencv(tmp_path):
     b2 = TemplateBank.read_templates_yaml(p, f_cap=8)
     np.testing.assert_array_equal(b2.templates[0].grad[0], t.grad[0])
     np.testing.assert_array_equal(b2.templates[0].grad[1], t.grad[1])
+
+
+def test_render_dump_roundtrip(tmp_path, rng):
+    """writeLinemodRender analog (renderer.cpp:125-146): Template i ->
+    {ID, Depth u16, Mask u8, Rect} round-trips, and cv2.FileStorage reads
+    the same matrices."""
+    from linemod_pose_estimation_tpu.models.templates import TemplateBank
+
+    depths = [rng.integers(0, 1200, size=(24, 32), dtype=np.uint16) for _ in range(2)]
+    masks = [(rng.random((24, 32)) < 0.5).astype(np.uint8) * 255 for _ in range(2)]
+    rects = [(3, 4, 10, 12), (1, 2, 20, 8)]
+    p = str(tmp_path / "render.yml")
+    TemplateBank.write_render_dump(p, depths, masks, rects)
+    back = TemplateBank.read_render_dump(p)
+    assert len(back) == 2
+    for i, (d, m, rc) in enumerate(back):
+        np.testing.assert_array_equal(d, depths[i])
+        np.testing.assert_array_equal(m, masks[i])
+        assert rc == rects[i]
+
+    cv2 = pytest.importorskip("cv2")
+    fs = cv2.FileStorage(p, cv2.FILE_STORAGE_READ)
+    node = fs.getNode("Template 1")
+    np.testing.assert_array_equal(node.getNode("Depth").mat(), depths[1])
+    assert int(node.getNode("ID").real()) == 1
+    fs.release()
