@@ -69,7 +69,8 @@ def _time(fn, iters, *args, label=""):
     return (time.perf_counter() - t0) / iters
 
 
-def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold):
+def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold,
+                  seed_base=0):
     import jax
     import jax.numpy as jnp
 
@@ -77,8 +78,8 @@ def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold):
 
     Kc = (E1 - 1) // T1 + 1  # feature offsets are in [0, E1)
     fmax = 63 * n_mod
-    feats1 = _merged_bank(n_templates, fmax, E1, n_mod, seed=0)
-    feats0 = _merged_bank(n_templates, fmax, E0, n_mod, seed=1)
+    feats1 = _merged_bank(n_templates, fmax, E1, n_mod, seed=seed_base)
+    feats0 = _merged_bank(n_templates, fmax, E0, n_mod, seed=seed_base + 1)
     # NOTE: bank arrays are passed as ARGUMENTS — closing over them embeds
     # ~200 MB of constants in the HLO and makes remote compiles pathological.
     W1 = M.build_gemm_weights(feats1, 8 * n_mod, T1, Kc)
@@ -234,6 +235,18 @@ def main() -> None:
     # Single-frame RGB-D.
     dt = _time(match_rgbd, iters, rgbs[:1], depths[:1], label="rgbd_single")
     extra["rgbd_single_fps"] = round(1.0 / dt, 2)
+
+    # Two-object config (BASELINE: thresholds 92/94, one bank per object,
+    # service-style alternation): same stage programs, second bank's arrays
+    # (shape-identical -> no extra compiles).
+    match_rgbd2, _, _, _ = _build_stages(n_templates, 2, T0, T1, E1, E0, top_k, thr,
+                                         seed_base=100)
+
+    def two_object(rgbs, depths):
+        return match_rgbd(rgbs, depths), match_rgbd2(rgbs, depths)
+
+    dt = _time(two_object, iters, rgbs, depths, label=f"two_object_batch{B}")
+    extra["two_object_batch_fps"] = round(B / dt, 2)
 
     # Single-frame and batched RGB-only (round-1 continuity).
     match_rgb, _, _, _ = _build_stages(n_templates, 1, T0, T1, E1, E0, top_k, thr)

@@ -121,50 +121,57 @@ def cluster_matches(
     BIG = jnp.int32(2**31 - 1)
     cell = jnp.where(matches.valid, cell, BIG)
 
-    order = jnp.argsort(cell)
-    cell_s = cell[order]
-    valid_s = matches.valid[order]
-    is_head = jnp.concatenate([jnp.array([True]), cell_s[1:] != cell_s[:-1]])
-    seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # (K,) segment per sorted match
+    # Sort-free grouping (TPU sorts of even 512 keys cost milliseconds): the
+    # (K, K) cell-equality matrix is one fused pass; per-cell sums are one
+    # MXU matmul; the first member of each cell is its representative row.
+    eq = (cell[:, None] == cell[None, :]) & matches.valid[:, None] & matches.valid[None, :]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    first = matches.valid & ~jnp.any(eq & (jj < ii), axis=1)
 
-    ones = valid_s.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(ones, seg, num_segments=K)
-    starts = jax.ops.segment_min(jnp.arange(K, dtype=jnp.int32), seg, num_segments=K)
-    sim_s = matches.similarity[order]
-    x_s = matches.x[order].astype(jnp.float32)
-    y_s = matches.y[order].astype(jnp.float32)
-    wh = rects[matches.template_id][:, 2:4].astype(jnp.float32)[order]
-    ssum = jax.ops.segment_sum(jnp.where(valid_s, sim_s, 0.0), seg, num_segments=K)
-    xsum = jax.ops.segment_sum(jnp.where(valid_s, x_s, 0.0), seg, num_segments=K)
-    ysum = jax.ops.segment_sum(jnp.where(valid_s, y_s, 0.0), seg, num_segments=K)
-    wsum = jax.ops.segment_sum(jnp.where(valid_s, wh[:, 0], 0.0), seg, num_segments=K)
-    hsum = jax.ops.segment_sum(jnp.where(valid_s, wh[:, 1], 0.0), seg, num_segments=K)
-
+    wh = rects[matches.template_id][:, 2:4].astype(jnp.float32)
+    vals = jnp.stack(
+        [
+            matches.similarity,
+            matches.x.astype(jnp.float32),
+            matches.y.astype(jnp.float32),
+            wh[:, 0],
+            wh[:, 1],
+        ],
+        axis=1,
+    )
+    sums = eq.astype(jnp.float32) @ jnp.where(matches.valid[:, None], vals, 0.0)
+    cnt = jnp.sum(eq, axis=1).astype(jnp.float32)
     c = jnp.maximum(cnt, 1.0)
-    score = ssum / c
-    bx = xsum / c
-    by = ysum / c
-    bw = wsum / c
-    bh = hsum / c
+    score = sums[:, 0] / c
     # Integer division like the reference's accumulating ints (C7).
-    bbox = jnp.stack([jnp.floor(bx), jnp.floor(by), jnp.floor(bw), jnp.floor(bh)], axis=1)
+    bbox = jnp.stack(
+        [jnp.floor(sums[:, 1] / c), jnp.floor(sums[:, 2] / c),
+         jnp.floor(sums[:, 3] / c), jnp.floor(sums[:, 4] / c)], axis=1,
+    )
 
-    seg_valid = cnt > filter_thresh  # cluster_filter: erase size() <= thresh
+    head_valid = first & (cnt > filter_thresh)  # cluster_filter: <= thresh drops
 
-    # Rank segments by count so the capacity keeps the biggest cells.
-    rank = jnp.argsort(jnp.where(seg_valid, -cnt, 1e9))[:max_cells]
-    sel_valid = seg_valid[rank]
+    # Keep the biggest cells within the capacity (top_k over K heads).
+    rank_key = jnp.where(head_valid, cnt, -1.0)
+    _, rank = jax.lax.top_k(rank_key, max_cells)
+    sel_valid = head_valid[rank]
 
-    # Member lists: positions of each segment's sorted matches.
-    mslots = jnp.arange(members_cap, dtype=jnp.int32)
-    pos = starts[rank][:, None] + mslots[None, :]
-    pos_c = jnp.clip(pos, 0, K - 1)
+    # Member lists: slot = rank of each member within its cell (matches
+    # arrive similarity-descending from top-k, so ascending index order ==
+    # best-first and capacity truncation keeps the best members).
+    eq_sel = eq[rank]  # (C, K)
+    slot = jnp.cumsum(eq_sel, axis=1) - 1  # member slot per column
+    slot = jnp.where(eq_sel, slot, members_cap)  # park non-members
+    member_idx = jnp.zeros((max_cells, members_cap), jnp.int32)
+    member_idx = member_idx.at[
+        jnp.arange(max_cells)[:, None], slot
+    ].set(jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (max_cells, K)),
+          mode="drop")
     member_valid = (
         sel_valid[:, None]
-        & (mslots[None, :] < cnt[rank][:, None])
-        & valid_s[pos_c]
+        & (jnp.arange(members_cap)[None, :] < jnp.minimum(cnt[rank], members_cap)[:, None])
     )
-    member_idx = order[pos_c]
 
     return ClusterSet(
         score=jnp.where(sel_valid, score[rank], -1.0),

@@ -169,25 +169,27 @@ def voxel_grid_filter(
     """PCL VoxelGrid semantics (rgbdDetector.cpp:1450-1455): one output point
     per occupied voxel, at the centroid of the voxel's members.
 
-    Static-shape algorithm: quantize to voxel ids, sort, segment-mean over
-    runs, keep the first `cap` distinct voxels.
+    Sort-free static-shape algorithm: TPU sorts of even 1k keys cost
+    milliseconds, while the (N, N) voxel-id equality matrix is one fused
+    VPU pass and the per-voxel centroid sums are one MXU matmul
+    (eq @ points).  First-occurrence rows are the voxel representatives,
+    compacted to `cap` with a cumsum + scatter.
     """
-    pts = jnp.where(valid[:, None], points, SENTINEL)
-    vid = _voxel_hash(pts, leaf)
-    vid = jnp.where(valid, vid, jnp.int32(2**31 - 1))
-    order = jnp.argsort(vid)
-    vid_s = vid[order]
-    pts_s = points[order]
-    val_s = valid[order]
-    is_head = jnp.concatenate([jnp.array([True]), vid_s[1:] != vid_s[:-1]])
-    seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # segment index per point
-    nseg = points.shape[0]
-    sums = jax.ops.segment_sum(jnp.where(val_s[:, None], pts_s, 0.0), seg, num_segments=nseg)
-    cnts = jax.ops.segment_sum(val_s.astype(jnp.float32), seg, num_segments=nseg)
+    N = points.shape[0]
+    vid = _voxel_hash(jnp.where(valid[:, None], points, SENTINEL), leaf)
+    eq = (vid[:, None] == vid[None, :]) & valid[:, None] & valid[None, :]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    first = valid & ~jnp.any(eq & (jj < ii), axis=1)  # no earlier member
+    cnts = jnp.sum(eq, axis=1).astype(jnp.float32)
+    sums = eq.astype(jnp.float32) @ jnp.where(valid[:, None], points, 0.0)
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
-    seg_valid = cnts > 0
-    out_pts = jnp.where(seg_valid[:cap, None], centroids[:cap], SENTINEL)
-    return out_pts.astype(jnp.float32), seg_valid[:cap]
+
+    pos = jnp.where(first, jnp.cumsum(first) - 1, cap)
+    out_pts = jnp.full((cap, 3), SENTINEL, jnp.float32)
+    out_pts = out_pts.at[pos].set(centroids.astype(jnp.float32), mode="drop")
+    ok = jnp.arange(cap) < jnp.sum(first)
+    return jnp.where(ok[:, None], out_pts, SENTINEL), ok
 
 
 def voxel_occupancy_rate(
@@ -204,13 +206,16 @@ def voxel_occupancy_rate(
     `octree_res`: here a sorted voxel-hash membership test.
     """
 
-    def vox_ids(p, v):
-        return jnp.where(v, _voxel_hash(p, resolution), jnp.int32(2**31 - 1))
-
-    sid = jnp.sort(vox_ids(pad_cloud(scene_pts, scene_valid), scene_valid))
-    mid = vox_ids(pad_cloud(model_pts, model_valid), model_valid)
-    pos = jnp.searchsorted(sid, mid)
-    pos = jnp.clip(pos, 0, sid.shape[0] - 1)
-    hit = (sid[pos] == mid) & model_valid
+    # Sort-free membership: an (M, S) voxel-id equality matrix is one fused
+    # pass (TPU sorts + searchsorted cost milliseconds at these sizes).
+    sid = jnp.where(
+        scene_valid, _voxel_hash(pad_cloud(scene_pts, scene_valid), resolution),
+        jnp.int32(2**31 - 1),
+    )
+    mid = jnp.where(
+        model_valid, _voxel_hash(pad_cloud(model_pts, model_valid), resolution),
+        jnp.int32(2**31 - 2),
+    )
+    hit = jnp.any(mid[:, None] == sid[None, :], axis=1) & model_valid
     n = jnp.maximum(jnp.sum(model_valid), 1)
     return jnp.sum(hit) / n
