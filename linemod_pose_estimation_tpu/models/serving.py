@@ -2,10 +2,11 @@
 time" becomes data-parallel frame batches (SURVEY.md §2.3 DP analog).
 
 BatchedMatcher runs B frames through the match engine per step:
-preprocess vmapped over the batch, ONE coarse GEMM over the stacked patch
-matrices (better MXU utilization than per-frame M=1200 rows), vmapped
-candidate selection, per-frame Pallas refinement (async-dispatched, ~25 us
-overhead each).
+preprocess vmapped over the batch (dual-modality RGB-D supported), ONE
+coarse int8 GEMM with the frame batch folded into the M dimension
+(coarse_scores_gemm_flat_batched), position-major candidate selection,
+and ONE Pallas refinement dispatch over all B*top_k candidates (each
+candidate's patch DMA reads its own frame via a per-candidate index).
 
 Also the carmine node's extras (SURVEY.md C17):
 - look_at_point: cloud point at a detection's bbox center with

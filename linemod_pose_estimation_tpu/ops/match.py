@@ -4,29 +4,38 @@ cv::linemod engine (SURVEY.md section 2.2 E1) re-designed for TPU.
 Where OpenCV walks linearized memories with SSE u8 adds per template, we
 batch the whole template bank into one device computation per frame:
 
-  coarse level (pyramid top, stride T):
-     response maps -> "linearized planes" L[C*T*T, Hc, Wc]
-     (channel = orientation x subcell offset, spatial = T-strided cells);
-     each feature (ori, dy, dx) is one shifted plane-slice; scores for all
-     templates x all window positions accumulate over a `lax.scan` of the
-     feature slots.  Output: raw (N, Hc, Wc) int32.
+  coarse level (pyramid top, stride T) — the PRODUCTION path:
+     response maps -> lane-major linearized planes
+     L[Hc+Kc, Wc+Kc, C*T*T] (the channel x subcell axis is the 128-lane
+     dimension) -> the patch matrix P[(B*)Hc*Wc, C*T*T*Kc*Kc] assembles as
+     lane-contiguous slice+concat -> ONE int8 x int8 -> int32 MXU GEMM
+     against the bank's one-hot weights (coarse_scores_gemm_flat[_batched]).
+     Scores stay POSITION-MAJOR (positions, N) so every downstream
+     elementwise pass runs at full VPU width; select_candidates_flat does
+     the fused similarity convert + validity mask + hardware approx top-k.
+     (coarse_scores, the gather-based lax.scan formulation, remains as the
+     bit-identical reference implementation the fast paths are equality-
+     tested against; coarse_scores_conv is the big-kernel conv twin.)
 
   fine level (pyramid bottom, stride 1):
-     for top-K coarse candidates, one big XLA gather evaluates the
-     level-0 features over a 16x16 refinement window around each candidate
-     (OpenCV's similarityLocal), giving the final sub-stride position and
-     the reported similarity.
+     top-K coarse candidates refine over a 24x24 stride-1 window around
+     each candidate (OpenCV's similarityLocal): on TPU via the Pallas
+     DMA+roll kernel (refine_candidates_pallas[_batched] — one dispatch
+     refines a whole frame batch); XLA twins (refine_candidates,
+     refine_candidates_slices, refine_candidates_conv) serve as reference
+     implementations and the CPU path.
 
 Modalities (ColorGradient + DepthNormal) are fused before scoring: their
 response maps concatenate channel-wise (C = 8 * num_modalities) and their
-feature lists merge with globally-offset orientation indices, so one scan
+feature lists merge with globally-offset orientation indices, so one GEMM
 scores both — similarity(%) = 100 * raw / (4 * total_features), identical
 to cv::linemod::Detector::match which sums similarities across modalities
-before normalizing.
+before normalizing (parity vs the real engine: tests/test_oracle_parity).
 
 The template axis is the sharding axis for multi-chip operation
 (parallel/sharded_match.py): each device scores its shard of the bank and
-top-k results merge over ICI.
+top-k results merge over ICI; the frame-row axis shards for the
+context-parallel layout (make_row_sharded_matcher).
 """
 
 from __future__ import annotations
