@@ -70,10 +70,18 @@ class CascadeParams:
     # "z_down" (carmine:487-495) or "none"
     canonicalize: str = "x_front"
     # C9 position strategy: "surface_centroid" (active in the reference,
-    # rgbdDetector.cpp:855), "roi_center" (cpp:1027-1060) or
-    # "distance_offset" (cpp:984-1025)
+    # rgbdDetector.cpp:855), "roi_center" (cpp:1027-1060),
+    # "distance_offset" (cpp:984-1025) or "local_descriptor" (SHOT + Hough
+    # grouping, cpp:867-1000 — the dormant full-pose path)
     position_strategy: str = "surface_centroid"
     distance_offset_uses_hole: bool = False  # is_center_hole handling
+    # local_descriptor knobs (ops/local_descriptor.py)
+    ld_keypoint_leaf: float = 0.008
+    ld_descr_radius: float = 0.02
+    ld_lrf_radius: float = 0.015
+    ld_bin_size: float = 0.01
+    ld_keypoint_cap: int = 96
+    ld_min_votes: int = 5
     # Ensenso geometry (service.cpp:212, 324-326)
     bias_x: int = 0
     # Static capacities
@@ -426,6 +434,37 @@ def rough_pose_and_refine(
         if not params.distance_offset_uses_hole:
             scene_pt = scene_pt.at[2].add(D_aver)
         tshift = scene_pt - jnp.array([0.0, 0.0, 1.0]) * Trans_aver
+    elif params.position_strategy == "local_descriptor":
+        # SHOT + Hough-3D correspondence grouping between the rendered model
+        # cloud and the scene ROI (getPoseByLocalDescriptor, cpp:867-1000):
+        # recovers a FULL rigid transform (rotation and translation) without
+        # ICP; on success it composes onto the rough pose and the ICP stages
+        # start from it.  Falls back to surface-centroid pairing when the
+        # Hough vote count is below threshold.
+        from ..ops.local_descriptor import get_pose_by_local_descriptor
+
+        ld = get_pose_by_local_descriptor(
+            model_pts, model_valid, scene_pts, scene_valid,
+            keypoint_leaf=params.ld_keypoint_leaf,
+            descr_radius=params.ld_descr_radius,
+            lrf_radius=params.ld_lrf_radius,
+            bin_size=params.ld_bin_size,
+            k_cap=params.ld_keypoint_cap,
+            min_votes=params.ld_min_votes,
+        )
+        sc = pcu.masked_centroid(scene_pts, scene_valid)
+        mc = pcu.masked_centroid(model_pts, model_valid)
+        s_surf = pcu.nearest_point(scene_pts, scene_valid, sc)
+        m_surf = pcu.nearest_point(model_pts, model_valid, mc)
+        fb_shift = s_surf - m_surf
+        fb_pose = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + fb_shift)
+        fb_model = model_pts + fb_shift[None, :]
+        pose0 = jnp.where(ld.valid, ld.pose @ pose0, fb_pose)
+        model_pts_t = jnp.where(
+            ld.valid,
+            model_pts @ ld.pose[:3, :3].T + ld.pose[:3, 3],
+            fb_model,
+        )
     else:
         # Surface-centroid pairing (cpp:1062-1131, the active strategy):
         # translate model so the surface point nearest its centroid lands on
@@ -435,8 +474,9 @@ def rough_pose_and_refine(
         s_surf = pcu.nearest_point(scene_pts, scene_valid, sc)
         m_surf = pcu.nearest_point(model_pts, model_valid, mc)
         tshift = s_surf - m_surf
-    pose0 = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + tshift)
-    model_pts_t = model_pts + tshift[None, :]
+    if params.position_strategy != "local_descriptor":
+        pose0 = pose0.at[:3, 3].set(jnp.array([0.0, 0.0, Trans_aver]) + tshift)
+        model_pts_t = model_pts + tshift[None, :]
 
     # ICP (coarse + fine) — pose = tf @ pose (cpp:1328-1331, 1363-1368);
     # the "nonlinear" variant runs the 3-pass LM schedule instead

@@ -333,3 +333,40 @@ def test_full_cascade_nonlinear_icp_variant(pipeline):
     # LM's strict final pass (corr 0.005) tolerates a slightly looser
     # landing on this low-res synthetic than the Kabsch two-stage path.
     assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
+
+
+@pytest.mark.slow
+def test_full_cascade_local_descriptor_strategy(pipeline):
+    """position_strategy='local_descriptor' (SHOT + Hough full-pose path,
+    getPoseByLocalDescriptor) through the whole cascade."""
+    _, r, meta, kept = pipeline
+    det = Detector(DetectorParams())
+    ids = []
+    for i in range(len(kept)):
+        out = r.render(meta.R[i], meta.T[i])
+        if det.add_template(np.asarray(out.rgb), np.asarray(out.mask), "boxNew") >= 0:
+            ids.append(i)
+    meta2 = TemplateMetadata(
+        R=meta.R[ids], T=meta.T[ids], K=meta.K[ids], D=meta.D[ids],
+        Ori_dist=meta.Ori_dist[ids], Rect=meta.Rect[ids],
+    )
+    glob2 = TemplateBank.read_params_yaml(BANK)[1]
+    glob2.width, glob2.height = W, H
+    glob2.focal_length_x /= 4
+    glob2.focal_length_y /= 4
+    params = CC.CascadeParams(
+        canonicalize="none", max_clusters=2, model_cap=512, scene_cap=512,
+        icp_max_iter=40, cluster_filter_thresh=0,
+        position_strategy="local_descriptor",
+    )
+    pipe = DetectionPipeline(det, meta2, glob2, STL, params, render_size=(W, H))
+    out = r.render(meta2.R[0], meta2.T[0])
+    cloud = np.asarray(pcu.depth_to_cloud(np.asarray(out.depth_mm) / 1000.0, r.K))
+    dets = pipe.detect(np.asarray(out.rgb), cloud, threshold=85.0)
+    assert len(dets) >= 1
+    d = dets[0]
+    R_gt = meta2.R[0]
+    t_gt = R_gt @ meta2.T[0]
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
+    assert ang < 8.0, ang
+    assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
