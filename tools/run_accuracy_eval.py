@@ -60,10 +60,14 @@ def main(out_path: str = "ACCURACY.json") -> None:
     # Head-to-head vs the genuine cv::linemod engine (identical templates
     # through the yml bridge) on the same rendered scenes.
     s["vs_opencv"] = EV.evaluate_vs_opencv(det, r, meta, view_ids, threshold=85.0)
+
+    # Second object: memoryChip2 (ASCII STL), trained from the view sphere
+    # (its reference bank is in .MISSING_LARGE_BLOBS, so GT poses come from
+    # the trainer's own metadata).
+    s["memoryChip2"] = _eval_second_object()
     s["config"] = {
-        "bank": "boxNew (shipped reference bank poses)",
+        "bank": "boxNew (shipped reference bank poses) + memoryChip2 (view-sphere)",
         "render": f"{W}x{H}",
-        "n_templates": len(kept),
         "note": "clean synthetic scenes re-rendered at trained poses",
     }
     EV.write_report(out_path, s)
@@ -71,6 +75,39 @@ def main(out_path: str = "ACCURACY.json") -> None:
     import json
 
     print(json.dumps(s, indent=2))
+
+
+def _eval_second_object() -> dict:
+    from linemod_pose_estimation_tpu.models.trainer import TrainerConfig, train_from_stl
+    from linemod_pose_estimation_tpu.models.templates import TemplateMetadata
+    from linemod_pose_estimation_tpu.utils.viewsphere import ViewSphereParams
+
+    stl = "/root/reference/config/stl/memoryChip2.stl"
+    cfg = TrainerConfig(
+        view_sphere=ViewSphereParams(
+            n_points=10, angle_step=180, radius_min=0.4, radius_max=0.4,
+            radius_step=0.1,
+        ),
+        width=W, height=H,
+        focal_length_x=535.566011 / 2, focal_length_y=537.168115 / 2,
+        class_id="memoryChip2",
+    )
+    det, bank = train_from_stl(stl, cfg, max_views=10)
+    if bank.num_templates < 3 or bank.metadata is None:
+        return {"n_templates": bank.num_templates, "skipped": True}
+    meta = bank.metadata
+    from linemod_pose_estimation_tpu.models.renderer import Renderer
+
+    r = Renderer(stl, W, H, cfg.focal_length_x, cfg.focal_length_y)
+    ids = list(range(bank.num_templates))
+    mcases = EV.evaluate_match_px(det, r, meta, ids, threshold=85.0,
+                                  class_id="memoryChip2")
+    out = EV.summarize(mcases, [])["match"]
+    out["n_templates"] = bank.num_templates
+    out["vs_opencv"] = EV.evaluate_vs_opencv(
+        det, r, meta, ids, threshold=85.0, class_id="memoryChip2"
+    )
+    return out
 
 
 if __name__ == "__main__":
