@@ -104,17 +104,33 @@ def spread_response(
 def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int, WR: int):
     def kernel(oris_ref, dys_ref, dxs_ref, meta_ref, R_hbm, out_ref, patch, sem):
         k = pl.program_id(0)
-        # (8, 128)-aligned patch DMA; the sub-tile residual is folded into
-        # the per-feature offsets on the host side.  multiple_of lets Mosaic
-        # prove the tiled-memref slice is aligned.
-        ay = pl.multiple_of(meta_ref[k, 1], 8)
-        ax = pl.multiple_of(meta_ref[k, 2], 128)
-        ch0 = pl.multiple_of(meta_ref[k, 3] * C, C)
-        dma = pltpu.make_async_copy(
-            R_hbm.at[pl.ds(ch0, C), pl.ds(ay, PR), pl.ds(ax, PC)], patch, sem
-        )
-        dma.start()
-        dma.wait()
+        nk = pl.num_programs(0)
+
+        # Double-buffered patch DMA (one slot computes while the next
+        # candidate's patch streams in).  Alignment: the sub-tile residual
+        # is folded into the per-feature offsets on the host side;
+        # multiple_of lets Mosaic prove the tiled-memref slice is aligned.
+        def get_dma(idx, slot):
+            ay = pl.multiple_of(meta_ref[idx, 1], 32)
+            ax = pl.multiple_of(meta_ref[idx, 2], 128)
+            ch0 = pl.multiple_of(meta_ref[idx, 3] * C, C)
+            return pltpu.make_async_copy(
+                R_hbm.at[pl.ds(ch0, C), pl.ds(ay, PR), pl.ds(ax, PC)],
+                patch.at[slot],
+                sem.at[slot],
+            )
+
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        @pl.when(k + 1 < nk)
+        def _():
+            get_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        get_dma(k, slot).wait()
 
         nf = meta_ref[k, 0]
         acc = jnp.zeros((window, window), jnp.int32)
@@ -130,7 +146,7 @@ def _refine_kernel(Fmax: int, C: int, PR: int, PC: int, window: int, WR: int):
             # the per-feature VPU traffic ~4x.
             dy32 = pl.multiple_of((dy // 32) * 32, 32)
             # Mosaic rotates only 32-bit data: widen the slab, then roll.
-            slab = patch[o, pl.ds(dy32, WR), :].astype(jnp.int32)
+            slab = patch[slot, o, pl.ds(dy32, WR), :].astype(jnp.int32)
             rows = pltpu.roll(slab, -(dy - dy32), 0)[:window, :]
             rolled = pltpu.roll(rows, -dx, 1)
             acc = acc + jnp.where(f < nf, rolled[:, :window], 0)
@@ -209,8 +225,8 @@ def refine_scores_pallas(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((C, PR, PC), jnp.int8),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, C, PR, PC), jnp.int8),  # double-buffered
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         return pl.pallas_call(
