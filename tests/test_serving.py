@@ -66,3 +66,54 @@ def test_batched_matcher_consistent_with_single(rng):
         assert sims.max() >= 99.0
         best = int(np.argmax(np.where(ok, np.asarray(m.similarity), -1.0)))
         assert (int(m.x[best]), int(m.y[best])) == (rx0 + sx, ry0 + sy)
+
+
+def test_streaming_multicamera_batched_inference(rng):
+    """BASELINE config 'streaming multi-camera batched inference':
+    FrameBatcher round-robins N camera sources into device batches, the
+    global batch shards over the mesh data axis (DCN ingest seam), and
+    BatchedMatcher finds each camera's planted object per step."""
+    import jax
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    from linemod_pose_estimation_tpu.api.service import Frame
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.serving import BatchedMatcher
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+    from linemod_pose_estimation_tpu.parallel.ingest import FrameBatcher, put_global_batch
+    from linemod_pose_estimation_tpu.parallel.mesh import make_mesh
+
+    patch, mask = make_object_patch(rng)
+    src = plant((120, 160, 3), patch, (30, 50))
+    src_mask = plant((120, 160), mask, (30, 50))
+    det = Detector(DetectorParams(), engine="gather")
+    assert det.add_template(src, src_mask, "obj") == 0
+    rx0, ry0 = det.template_rect0("obj", 0)[:2]
+
+    # 3 "cameras", each seeing the object at a different place.
+    shifts = [(0, 0), (12, 8), (-20, 24)]
+    cams = []
+    for sx, sy in shifts:
+        rgb = plant((120, 160, 3), patch, (30 + sy, 50 + sx))
+        cloud = np.zeros((120, 160, 3), np.float32)
+        cams.append(Frame(rgb=rgb, cloud=cloud))
+
+    fb = FrameBatcher([lambda f=f: f for f in cams], batch=4)
+    mesh = make_mesh(data=2, bank=4)
+    bm = BatchedMatcher(det, "obj", threshold=90.0, batch=4, top_k=16)
+
+    for step in range(2):
+        rgbs, clouds = fb.next_batch()
+        g_rgbs, _ = put_global_batch(mesh, rgbs)
+        results = bm.match_batch_list(jnp.asarray(g_rgbs))
+        for b, m in enumerate(results):
+            cam = (step * 4 + b) % 3
+            sx, sy = shifts[cam]
+            ok = np.asarray(m.valid)
+            assert ok.any(), (step, b)
+            best = int(np.argmax(np.where(ok, np.asarray(m.similarity), -1.0)))
+            assert float(m.similarity[best]) >= 99.0
+            assert (int(m.x[best]), int(m.y[best])) == (rx0 + sx, ry0 + sy), (step, b)
