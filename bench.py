@@ -87,10 +87,7 @@ def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold,
 
     def _pre(rgb, depth_mm):
         pyr = M.preprocess_frame(rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth)
-        if use_depth:
-            return (jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0),
-                    jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0))
-        return pyr.grad_r0, pyr.grad_r1
+        return M.stack_modalities(pyr, use_depth)
 
     pre_b = jax.jit(jax.vmap(_pre))
     # Position-major scores: N on the lane axis keeps every downstream

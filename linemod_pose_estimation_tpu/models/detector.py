@@ -227,25 +227,9 @@ class Detector:
 
         def _sel_flat(raw_flat, f1, Hc, Wc):
             vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-            if approx_select:
-                return M.select_candidates_flat(
-                    raw_flat, f1.count, vpos, threshold - 5.0, top_k, Wc
-                )
-            sim = jnp.where(
-                vpos,
-                100.0 * raw_flat.astype(jnp.float32)
-                / (4.0 * jnp.maximum(f1.count, 1)[None, :]),
-                -1.0,
-            )
-            vals, idx = jax.lax.top_k(sim.reshape(-1), min(top_k, sim.size))
-            N = raw_flat.shape[1]
-            pos = idx // N
-            return M.CoarseMatches(
-                (idx % N).astype(jnp.int32),
-                (pos // Wc).astype(jnp.int32),
-                (pos % Wc).astype(jnp.int32),
-                vals,
-                vals >= threshold - 5.0,
+            return M.select_candidates_flat(
+                raw_flat, f1.count, vpos, threshold - 5.0, top_k, Wc,
+                exact=not approx_select,
             )
 
         sel = jax.jit(_sel_flat, static_argnames=("Hc", "Wc"))

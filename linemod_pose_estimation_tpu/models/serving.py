@@ -56,12 +56,7 @@ class BatchedMatcher:
                 rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth,
                 weak_threshold=self.weak,
             )
-            if use_depth:
-                R0 = jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0)
-                R1 = jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0)
-            else:
-                R0, R1 = pyr.grad_r0, pyr.grad_r1
-            return R0, R1
+            return M.stack_modalities(pyr, use_depth)
 
         self._pre = jax.jit(jax.vmap(_pre))
         # Position-major (Hc*Wc, N) scores: full-lane-width elementwise ops.

@@ -323,6 +323,9 @@ class TemplateBank:
 
         Exactly max_offset // T + 1 — the GEMM K-dim scales with Kc^2, so an
         unused extra shift costs ~27% of the coarse contraction at T=8/E=48.
+        NOTE: `size` stores the template's MAXIMUM feature offset (y1-y0,
+        inclusive — see extract_template), so sizes.max() IS max_offset and
+        no -1 belongs here.
         """
         T = self.params.t_pyramid[level]
         sizes = np.asarray(
@@ -592,7 +595,9 @@ class TemplateBank:
         nat = native.load_templates_native(path) if native.available() else None
         if nat is not None:
             entries, features, header, mparams = nat
-            levels, n_mod, T0, T1 = (int(v) for v in header)
+            # header[1] is a modality bitmask: bit0 ColorGradient, bit1
+            # DepthNormal (depth-only banks decode correctly).
+            levels, mod_mask, T0, T1 = (int(v) for v in header)
             cp = ModalityParams(
                 weak_threshold=float(mparams[0, 0]) or 10.0,
                 num_features=int(mparams[0, 1]) or 63,
@@ -606,8 +611,8 @@ class TemplateBank:
             )
             params = DetectorParams(
                 t_pyramid=(T0, T1),
-                use_color_gradient=True,
-                use_depth_normal=n_mod > 1,
+                use_color_gradient=bool(mod_mask & 1),
+                use_depth_normal=bool(mod_mask & 2),
                 color=cp,
                 depth=dp,
             )

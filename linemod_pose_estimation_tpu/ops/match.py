@@ -297,7 +297,7 @@ def position_validity_flat(size: jnp.ndarray, T: int, Hc: int, Wc: int) -> jnp.n
     return position_validity(size, T, Hc, Wc).reshape(size.shape[0], -1).T
 
 
-@partial(jax.jit, static_argnames=("top_k", "Wc"))
+@partial(jax.jit, static_argnames=("top_k", "Wc", "exact"))
 def select_candidates_flat(
     raw_flat: jnp.ndarray,
     total_features: jnp.ndarray,
@@ -305,16 +305,21 @@ def select_candidates_flat(
     threshold: float,
     top_k: int,
     Wc: int,
+    exact: bool = False,
 ) -> CoarseMatches:
     """Candidate selection over POSITION-MAJOR scores (Hc*Wc, N): one fused
-    full-lane-width convert+mask pass, then hardware approx_max_k.  Same
-    result set as select_candidates_approx on the (N, Hc, Wc) layout."""
+    full-lane-width convert+mask pass, then hardware approx_max_k (or exact
+    lax.top_k with `exact=True`).  Same result set as
+    select_candidates_approx on the (N, Hc, Wc) layout."""
     P, N = raw_flat.shape
     scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
     sim = jnp.where(vpos_flat, raw_flat.astype(jnp.float32) * scale[None, :], -1.0)
     flat = sim.reshape(-1)
     k = min(top_k, flat.shape[0])
-    vals, idx = jax.lax.approx_max_k(flat, k)
+    if exact:
+        vals, idx = jax.lax.top_k(flat, k)
+    else:
+        vals, idx = jax.lax.approx_max_k(flat, k)
     t = idx % N
     pos = idx // N
     return CoarseMatches(
@@ -336,17 +341,22 @@ def refine_candidates_slices(
     E0: int = 256,
     fine_T: int = 5,
     window: int = 24,
+    anchor_min_y=0,
 ) -> Matches:
     """Refinement via contiguous window slices: a scan over feature slots,
     each step slicing one (window x window) response block per candidate
-    (row-contiguous DMA-friendly reads instead of 9M pointwise gathers)."""
+    (row-contiguous DMA-friendly reads instead of 9M pointwise gathers).
+
+    `anchor_min_y` replaces the lower clip bound of the row anchor — the
+    row-sharded matcher passes its halo height so the image-top clipping
+    happens at the GLOBAL frame edge, not at each shard's stripe start."""
     C, H, W = R0.shape
     K = cand.template_id.shape[0]
     Fmax = feats0.oris.shape[1]
 
     anchor_y = cand.cell_y * coarse_T * 2 - (fine_T - 1)
     anchor_x = cand.cell_x * coarse_T * 2 - (fine_T - 1)
-    anchor_y = jnp.clip(anchor_y, 0, H - 1)
+    anchor_y = jnp.clip(anchor_y, anchor_min_y, H - 1)
     anchor_x = jnp.clip(anchor_x, 0, W - 1)
 
     t = cand.template_id
@@ -716,6 +726,19 @@ def refine_candidates(
 # ---------------------------------------------------------------------------
 # Frame preprocessing: quantize + spread + respond at both pyramid levels.
 # ---------------------------------------------------------------------------
+
+
+def stack_modalities(pyr: "FramePyramid", use_depth: bool):
+    """(R0, R1) response stacks from a FramePyramid — channel-concatenated
+    when the DepthNormal modality is on.  The ONE place the modality
+    channel layout is defined for serving/bench/sharded paths (Detector
+    keeps its flag-aware variant for color-off configurations)."""
+    if use_depth:
+        return (
+            jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0),
+            jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0),
+        )
+    return pyr.grad_r0, pyr.grad_r1
 
 
 class FramePyramid(NamedTuple):

@@ -186,6 +186,9 @@ def make_row_sharded_matcher(
     n = mesh.shape[axis]
     halo1 = T1 * Kc1  # coarse-level rows a window may read past its anchor
     halo0 = E0 + 32   # level-0 rows refinement may read past its anchor
+    UP = 2 * T1       # level-0 rows the refine window reaches ABOVE a
+    #   shard's first anchor (anchor = cell*2*T1 - (fine_T-1)); one coarse
+    #   cell of upward halo covers it
 
     def local_match(R1_loc, R0_loc, W1, feats1, feats0):
         # R1_loc: (C, H1/n, W1); R0_loc: (C, H0/n, W0)
@@ -198,7 +201,13 @@ def make_row_sharded_matcher(
         R1x = jnp.concatenate([R1_loc, halo_r1], axis=1)
         halo_r0 = jax.lax.ppermute(R0_loc[:, :halo0, :], axis, perm)
         halo_r0 = jnp.where(idx == n - 1, jnp.zeros_like(halo_r0), halo_r0)
-        R0x = jnp.concatenate([R0_loc, halo_r0], axis=1)
+        # Upward halo: refinement windows of a stripe's FIRST cell row start
+        # fine_T-1 px above the stripe (the single-device engine reads the
+        # previous rows there) — pull the previous shard's last UP rows.
+        perm_up = [(i, (i + 1) % n) for i in range(n)]  # send last rows UP
+        halo_up = jax.lax.ppermute(R0_loc[:, -UP:, :], axis, perm_up)
+        halo_up = jnp.where(idx == 0, jnp.zeros_like(halo_up), halo_up)
+        R0x = jnp.concatenate([halo_up, R0_loc, halo_r0], axis=1)
 
         Hc_loc = R1_loc.shape[1] // T1  # anchor cells owned by this shard
         raw = M.coarse_scores_gemm(R1x, W1, T1, Kc1)[:, :Hc_loc, :]
@@ -214,14 +223,21 @@ def make_row_sharded_matcher(
         cand = M.select_candidates(
             raw, feats1.count, vpos, max(threshold - coarse_margin, 0.0), top_k
         )
-        ref = M.refine_candidates_slices(
-            R0x, feats0, cand, T1, threshold, E0=E0, fine_T=T0
+        # Shift anchors by the UP halo (one coarse cell = 2*T1 level-0 rows);
+        # only the GLOBAL image top clips the anchor (device 0 at row UP).
+        cand_sh = M.CoarseMatches(
+            cand.template_id, cand.cell_y + 1, cand.cell_x,
+            cand.similarity, cand.valid,
         )
-        # Re-base to global pixel rows.
+        ref = M.refine_candidates_slices(
+            R0x, feats0, cand_sh, T1, threshold, E0=E0, fine_T=T0,
+            anchor_min_y=jnp.where(idx == 0, UP, 0),
+        )
+        # Re-base to global pixel rows (undo the UP halo shift).
         ref = M.Matches(
             template_id=ref.template_id,
             x=ref.x,
-            y=ref.y + idx * R0_loc.shape[1],
+            y=ref.y - UP + idx * R0_loc.shape[1],
             similarity=ref.similarity,
             valid=ref.valid,
         )
@@ -256,6 +272,7 @@ def make_sharded_detect_step(
     E0: int = 96,
     use_depth: bool = False,
     coarse_margin: float = 5.0,
+    weak_threshold: float = 10.0,
 ):
     """The full multi-chip detect step over a raw frame batch:
 
@@ -280,11 +297,11 @@ def make_sharded_detect_step(
         shard = jax.lax.axis_index("bank").astype(jnp.int32)
 
         def pre(rgb, depth):
-            pyr = M.preprocess_frame(rgb, depth, T0=T0, T1=T1, use_depth=use_depth)
-            if use_depth:
-                return (jnp.concatenate([pyr.grad_r0, pyr.norm_r0], axis=0),
-                        jnp.concatenate([pyr.grad_r1, pyr.norm_r1], axis=0))
-            return pyr.grad_r0, pyr.grad_r1
+            pyr = M.preprocess_frame(
+                rgb, depth, T0=T0, T1=T1, use_depth=use_depth,
+                weak_threshold=weak_threshold,
+            )
+            return M.stack_modalities(pyr, use_depth)
 
         R0, R1 = jax.vmap(pre)(rgbs, depths)
 

@@ -253,10 +253,30 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
   std::vector<int32_t> entries;   // pyramid_id, w, h, level, modality, nf
   std::vector<int32_t> features;  // x, y, label (raw Feature::write order)
 
-  // Modality count: template entries carry no modality name (cv::linemod
-  // TemplatePyramid is the flat list tp[level*num_mod + mod_index]), so the
-  // index within each pyramid determines the modality.
-  int n_mod = (t.find("DepthNormal") != std::string::npos) ? 2 : 1;
+  // Modality order from the top-level "modalities" list's "type:" entries
+  // (template entries carry no modality name — cv::linemod TemplatePyramid
+  // is the flat list tp[level*num_mod + mod_index], so the index within
+  // each pyramid selects from this order).  Searching only the header
+  // region (before "classes:") avoids false hits in class ids/comments,
+  // and depth-only banks get the right single-modality labeling.
+  std::vector<int32_t> mod_order;  // 0 = ColorGradient, 1 = DepthNormal
+  {
+    size_t classes_pos = t.find("classes:");
+    size_t limit = classes_pos == std::string::npos ? t.size() : classes_pos;
+    size_t tp_ = 0;
+    while (true) {
+      size_t vp = find_key(t, "type", tp_);
+      if (vp == std::string::npos || vp >= limit) break;
+      size_t vs = t.find_first_not_of(' ', vp);
+      if (vs != std::string::npos && t.compare(vs, 5, "Depth") == 0)
+        mod_order.push_back(1);
+      else
+        mod_order.push_back(0);
+      tp_ = vp;
+    }
+    if (mod_order.empty()) mod_order.push_back(0);
+  }
+  int n_mod = static_cast<int>(mod_order.size());
 
   // Walk template_pyramids entries in order.  find_key returns the position
   // just AFTER "template_id:", so `next` is exactly where the following
@@ -287,7 +307,7 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
       entries.push_back(static_cast<int32_t>(parse_scalar(t, wp)));
       entries.push_back(static_cast<int32_t>(parse_scalar(t, hp)));
       entries.push_back(static_cast<int32_t>(parse_scalar(t, lp)));
-      entries.push_back(ecount % n_mod);
+      entries.push_back(mod_order[ecount % n_mod]);
       entries.push_back(static_cast<int32_t>(fv.size() / 3));
       for (double v : fv) features.push_back(static_cast<int32_t>(v));
       ++n_entries;
@@ -297,14 +317,13 @@ uint8_t* lpe_load_templates_blob(const char* path, int64_t* out_size) {
     idp = next;
   }
 
-  // Header bits.
+  // Header bits.  header[1] is a modality BITMASK (bit0 = ColorGradient,
+  // bit1 = DepthNormal) so depth-only banks decode correctly.
   std::vector<int32_t> header(4, 0);
   size_t plp = find_key(t, "pyramid_levels", 0);
   header[0] = plp != std::string::npos ? static_cast<int32_t>(parse_scalar(t, plp)) : 2;
-  header[1] = (find_key(t, "DepthNormal", 0) != std::string::npos ||
-               t.find("DepthNormal") != std::string::npos)
-                  ? 2
-                  : 1;
+  header[1] = 0;
+  for (int32_t m : mod_order) header[1] |= (m == 1) ? 2 : 1;
   size_t tpp = find_key(t, "T", 0);
   auto tv = parse_flow(t, tpp);
   header[2] = tv.size() > 0 ? static_cast<int32_t>(tv[0]) : 5;

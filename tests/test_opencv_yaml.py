@@ -132,7 +132,8 @@ def test_native_matches_pyyaml_on_opencv_bank():
     # raw file order [x, y, label]
     np.testing.assert_array_equal(features[0], [11, 3, 4])
     np.testing.assert_array_equal(features[3], [5, 9, 1])
-    assert list(header) == [2, 2, 5, 8]
+    # header[1] is a modality bitmask: bit0 ColorGradient | bit1 DepthNormal.
+    assert list(header) == [2, 3, 5, 8]
 
 
 def test_written_bank_feature_order_is_opencv(tmp_path):
@@ -194,3 +195,31 @@ def test_render_dump_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(node.getNode("Depth").mat(), depths[1])
     assert int(node.getNode("ID").real()) == 1
     fs.release()
+
+
+def test_depth_only_bank_roundtrip(tmp_path):
+    """Depth-only banks (use_color_gradient=False) round-trip through both
+    readers with correct modality labeling (round-2 review finding: the
+    native parser used to assume ColorGradient-first and mislabeled them)."""
+    from linemod_pose_estimation_tpu.models.templates import (
+        DetectorParams, TemplateBank, TemplateFeatures,
+    )
+
+    params = DetectorParams(use_color_gradient=False, use_depth_normal=True)
+    t = TemplateFeatures(
+        grad=[],
+        norm=[np.array([[3, 11, 4], [7, 25, 2]], np.int32),
+              np.array([[2, 6, 3]], np.int32)],
+        size=[(30, 40), (15, 20)],
+        rect0=(0, 0, 40, 30),
+    )
+    bank = TemplateBank("depth_obj", params, [t], f_cap=8)
+    p = str(tmp_path / "depth_only.yml")
+    bank.write_templates_yaml(p)
+
+    b2 = TemplateBank.read_templates_yaml(p, f_cap=8)
+    assert not b2.params.use_color_gradient
+    assert b2.params.use_depth_normal
+    assert b2.templates[0].grad == []
+    np.testing.assert_array_equal(b2.templates[0].norm[0], t.norm[0])
+    np.testing.assert_array_equal(b2.templates[0].norm[1], t.norm[1])

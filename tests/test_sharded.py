@@ -203,7 +203,6 @@ def test_row_sharded_matcher_equals_single_device(rng, mesh8):
 
     patch, mask = make_object_patch(rng)
     H0, W0 = 256, 128
-    # Plant low in the image so the match spans a shard boundary.
     src = plant((H0, W0, 3), patch, (150, 40))
     src_mask = plant((H0, W0), mask, (150, 40))
     det = Detector(DetectorParams(), engine="gather")
@@ -214,22 +213,30 @@ def test_row_sharded_matcher_equals_single_device(rng, mesh8):
     E0 = bank.extent(0)
     feats1, feats0 = bank.merged_features(1), bank.merged_features(0)
     W1 = bank.gemm_weights(1)
-
-    pyr = M.preprocess_frame(jnp.asarray(src), None, T0=T0, T1=T1)
-    R0 = jax.device_put(pyr.grad_r0, NamedSharding(mesh8, P(None, "bank")))
-    R1 = jax.device_put(pyr.grad_r1, NamedSharding(mesh8, P(None, "bank")))
     rep = lambda a: jax.device_put(a, NamedSharding(mesh8, P()))
-
     matcher = make_row_sharded_matcher(
         mesh8, "bank", T1, Kc1, top_k=8, threshold=90.0, T0=T0, E0=E0
     )
-    mat = matcher(R1, R0, rep(W1), jax.tree.map(rep, feats1), jax.tree.map(rep, feats0))
 
-    ref = det.match(src, 90.0)["obj"]
-    assert len(ref) > 0
-    rbest = int(np.argmax(ref.similarity))
-    ok = np.asarray(mat.valid)
-    assert ok.any()
-    b = int(np.argmax(np.where(ok, np.asarray(mat.similarity), -1.0)))
-    assert float(mat.similarity[b]) >= float(ref.similarity[rbest]) - 1e-4
-    assert (int(mat.x[b]), int(mat.y[b])) == (int(ref.x[rbest]), int(ref.y[rbest]))
+    # Stripes are 64 level-0 rows (4 shards); probe plants that land mid-
+    # stripe, just ABOVE shard boundaries (the upward-halo case: the refine
+    # window must read the previous shard's rows), and at the image top
+    # (the global-clip case).
+    for (py, px) in [(150, 40), (60, 30), (125, 50), (188, 20), (0, 40)]:
+        scene = plant((H0, W0, 3), patch, (py, px))
+        pyr = M.preprocess_frame(jnp.asarray(scene), None, T0=T0, T1=T1)
+        R0 = jax.device_put(pyr.grad_r0, NamedSharding(mesh8, P(None, "bank")))
+        R1 = jax.device_put(pyr.grad_r1, NamedSharding(mesh8, P(None, "bank")))
+        mat = matcher(R1, R0, rep(W1), jax.tree.map(rep, feats1),
+                      jax.tree.map(rep, feats0))
+
+        ref = det.match(scene, 90.0)["obj"]
+        assert len(ref) > 0, (py, px)
+        rbest = int(np.argmax(ref.similarity))
+        ok = np.asarray(mat.valid)
+        assert ok.any(), (py, px)
+        b = int(np.argmax(np.where(ok, np.asarray(mat.similarity), -1.0)))
+        assert float(mat.similarity[b]) >= float(ref.similarity[rbest]) - 1e-4, (py, px)
+        assert (int(mat.x[b]), int(mat.y[b])) == (
+            int(ref.x[rbest]), int(ref.y[rbest]),
+        ), (py, px)
