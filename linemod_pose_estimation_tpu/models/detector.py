@@ -76,10 +76,11 @@ class Detector:
         mask: np.ndarray,
         class_id: str = "obj",
         depth_mm: np.ndarray | None = None,
+        precomputed: dict | None = None,
     ) -> int:
         """Extract and store a template; returns its id or -1 on failure
         (the reference skips such views, renderer.cpp:308-315)."""
-        t = extract_template(rgb, depth_mm, mask, self.params)
+        t = extract_template(rgb, depth_mm, mask, self.params, precomputed)
         if t is None:
             return -1
         self._templates.setdefault(class_id, []).append(t)

@@ -78,20 +78,28 @@ def _select_scattered(candidates: np.ndarray, scores: np.ndarray, num: int) -> n
         return cand
     distance = float(n / num + 1)
     d2 = distance * distance
-    kept: list[np.ndarray] = []
-    kept_yx: list[tuple[float, float]] = []
+    cap = min(num, n)
+    kept = np.empty((cap, cand.shape[1]), cand.dtype)
+    ky = np.empty(cap, np.float64)
+    kx = np.empty(cap, np.float64)
+    nk = 0
     i = 0
-    while len(kept) < num:
+    # The candidate walk stays a Python loop (OpenCV's greedy order is
+    # inherently sequential) but the distance-to-all-kept test vectorizes —
+    # the trainer spends its time here (~8 s/view with the scalar inner
+    # loop, ~0.2 s vectorized).
+    while nk < num:
         c = cand[i]
         cy, cx = float(c[0]), float(c[1])
-        ok = True
-        for ky, kx in kept_yx:
-            if (cy - ky) ** 2 + (cx - kx) ** 2 < d2:
-                ok = False
+        if nk == 0 or float(
+            np.min((ky[:nk] - cy) ** 2 + (kx[:nk] - cx) ** 2)
+        ) >= d2:
+            kept[nk] = c
+            ky[nk] = cy
+            kx[nk] = cx
+            nk += 1
+            if nk == cap:
                 break
-        if ok:
-            kept.append(c)
-            kept_yx.append((cy, cx))
         i += 1
         if i == n:
             i = 0
@@ -100,7 +108,7 @@ def _select_scattered(candidates: np.ndarray, scores: np.ndarray, num: int) -> n
             if distance < 1.0:
                 # All pixel-distinct candidates are in; nothing more can join.
                 break
-    return np.stack(kept) if kept else cand[:0]
+    return kept[:nk].copy()
 
 
 def _bit_to_index(bitmask: np.ndarray) -> np.ndarray:
@@ -109,10 +117,20 @@ def _bit_to_index(bitmask: np.ndarray) -> np.ndarray:
 
 
 def extract_gradient_features(
-    rgb: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int
+    rgb: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int,
+    precomputed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> np.ndarray | None:
-    """(y, x, ori) rows for one pyramid level, or None if too few features."""
-    quant, mag2 = FO.quantize_color_gradient(jnp.asarray(rgb), params.weak_threshold)
+    """(y, x, ori) rows for one pyramid level, or None if too few features.
+
+    `precomputed` supplies (quant, mag2) from a batched device pass (the
+    trainer quantizes a whole render chunk in one dispatch — per-view
+    device round-trips dominate training time otherwise)."""
+    if precomputed is not None:
+        quant, mag2 = precomputed
+    else:
+        quant, mag2 = FO.quantize_color_gradient(
+            jnp.asarray(rgb), params.weak_threshold
+        )
     quant = np.asarray(quant)
     mag2 = np.asarray(mag2)
     strong2 = params.strong_threshold**2
@@ -127,15 +145,19 @@ def extract_gradient_features(
 
 
 def extract_normal_features(
-    depth_mm: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int
+    depth_mm: np.ndarray, mask: np.ndarray, params: ModalityParams, num: int,
+    precomputed: np.ndarray | None = None,
 ) -> np.ndarray | None:
-    quant = np.asarray(
-        FO.quantize_depth_normal(
-            jnp.asarray(depth_mm.astype(np.float32)),
-            params.distance_threshold,
-            params.difference_threshold,
+    if precomputed is not None:
+        quant = np.asarray(precomputed)
+    else:
+        quant = np.asarray(
+            FO.quantize_depth_normal(
+                jnp.asarray(depth_mm.astype(np.float32)),
+                params.distance_threshold,
+                params.difference_threshold,
+            )
         )
-    )
     try:
         from scipy.ndimage import distance_transform_edt
 
@@ -161,9 +183,14 @@ def extract_template(
     depth_mm: np.ndarray | None,
     mask: np.ndarray,
     params: DetectorParams,
+    precomputed: dict | None = None,
 ) -> TemplateFeatures | None:
     """Extract a multi-level template; None mimics addTemplate == -1
-    (too few features -> view skipped, ref renderer.cpp:308-315)."""
+    (too few features -> view skipped, ref renderer.cpp:308-315).
+
+    `precomputed`, when given, holds per-level quantizations from a batched
+    device pass: {"grad": [(quant, mag2), ...], "norm": [quant, ...]}.
+    """
     levels = params.pyramid_levels
     grad_l: list[np.ndarray] = []
     norm_l: list[np.ndarray] = []
@@ -172,21 +199,28 @@ def extract_template(
     cur_mask = (mask > 0).astype(np.uint8)
     for l in range(levels):
         if params.use_color_gradient:
-            g = extract_gradient_features(cur_rgb, cur_mask, params.color, params.color.num_features)
+            g = extract_gradient_features(
+                cur_rgb, cur_mask, params.color, params.color.num_features,
+                precomputed=precomputed["grad"][l] if precomputed else None,
+            )
             if g is None:
                 return None
             grad_l.append(g)
         if params.use_depth_normal:
             if cur_depth is None:
                 return None
-            n = extract_normal_features(cur_depth, cur_mask, params.depth, params.depth.num_features)
+            n = extract_normal_features(
+                cur_depth, cur_mask, params.depth, params.depth.num_features,
+                precomputed=precomputed["norm"][l] if precomputed else None,
+            )
             if n is None:
                 return None
             norm_l.append(n)
         if l + 1 < levels:
-            cur_rgb = np.stack(
-                [_pyr_down_np(cur_rgb[..., c]) for c in range(cur_rgb.shape[-1])], axis=-1
-            )
+            if precomputed is None:
+                cur_rgb = np.stack(
+                    [_pyr_down_np(cur_rgb[..., c]) for c in range(cur_rgb.shape[-1])], axis=-1
+                )
             if cur_depth is not None:
                 cur_depth = cur_depth[::2, ::2]
             cur_mask = cur_mask[::2, ::2]

@@ -19,11 +19,13 @@ one dispatch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import features as FO
 from ..utils.stl import load_stl
 from ..utils.viewsphere import ViewSphereParams, generate_views
 from .detector import Detector
@@ -48,6 +50,60 @@ class TrainerConfig:
     detector: DetectorParams = field(default_factory=DetectorParams)
     render_batch: int = 16
     class_id: str = "obj"
+
+
+@partial(jax.jit, static_argnames=("use_depth", "levels", "crop"))
+def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
+                     diff_thresh, use_depth: bool, levels: int = 2,
+                     crop: int = 288):
+    """Quantize a whole render chunk in ONE device dispatch and return only
+    fixed-size CROPS around each view's render rect: per level, (quant,
+    mag2) for ColorGradient, quant for DepthNormal, plus the cropped mask,
+    center depths and crop origins.  One small host transfer per chunk
+    instead of ~8 full-frame round-trips per view — those dominate training
+    time otherwise (profiled: ~8 s/view through this environment's
+    remote-TPU tunnel; ~0.3 s/view batched + cropped).
+
+    The quantizers run on the FULL frame first (identical numerics to the
+    detection path — no crop-border artifacts), then the results crop.
+    """
+    H, W = rgbs.shape[1:3]
+
+    def one(rgb, depth, mask, rect):
+        # Crop origin: rect centered in the crop window, clamped in-frame.
+        cx0 = jnp.clip(rect[0] + rect[2] // 2 - crop // 2, 0, max(W - crop, 0))
+        cy0 = jnp.clip(rect[1] + rect[3] // 2 - crop // 2, 0, max(H - crop, 0))
+        # Even origins so each level-l crop starts exactly at origin >> l
+        # (level coordinates stay consistent across the pyramid).
+        cx0 = (cx0 // (1 << (levels - 1))) * (1 << (levels - 1))
+        cy0 = (cy0 // (1 << (levels - 1))) * (1 << (levels - 1))
+        out = {"grad": [], "norm": [], "mask": [], "origin": (cy0, cx0)}
+        out["center_depth"] = depth[H // 2, W // 2]
+        cur = rgb.astype(jnp.float32)
+        cur_d = depth
+        cur_m = mask
+        for l in range(levels):
+            s = crop >> l
+            oy, ox = cy0 >> l, cx0 >> l
+            q, m2 = FO.quantize_color_gradient(cur, weak_threshold)
+            out["grad"].append((
+                jax.lax.dynamic_slice(q, (oy, ox), (s, s)),
+                jax.lax.dynamic_slice(m2, (oy, ox), (s, s)),
+            ))
+            if use_depth:
+                qd = FO.quantize_depth_normal(cur_d, dist_thresh, diff_thresh)
+                out["norm"].append(jax.lax.dynamic_slice(qd, (oy, ox), (s, s)))
+            out["mask"].append(jax.lax.dynamic_slice(cur_m, (oy, ox), (s, s)))
+            if l + 1 < levels:
+                cur = jnp.stack(
+                    [FO.pyr_down(cur[..., c]) for c in range(cur.shape[-1])],
+                    axis=-1,
+                )
+                cur_d = cur_d[::2, ::2]
+                cur_m = cur_m[::2, ::2]
+        return out
+
+    return jax.vmap(one)(rgbs, depths, masks, rects)
 
 
 def train_from_stl(
@@ -85,24 +141,58 @@ def train_from_stl(
         Rb = np.stack([v.R for v in chunk]).astype(np.float32)
         Tb = np.stack([v.T for v in chunk]).astype(np.float32)
         out = r.render_batch(Rb, Tb)
-        depth = np.asarray(out.depth_mm)
-        mask = np.asarray(out.mask)
-        rgb = np.asarray(out.rgb)
+        # One batched featurization dispatch; only fixed-size crops around
+        # each render rect transfer to host (plus rects + center depths).
+        dp = cfg.detector
+        CROP = min(288, cfg.width, cfg.height)
+        feat = _featurize_batch(
+            out.rgb, out.depth_mm.astype(jnp.float32), out.mask, out.rect,
+            dp.color.weak_threshold, dp.depth.distance_threshold,
+            dp.depth.difference_threshold,
+            use_depth=dp.use_depth_normal, levels=dp.pyramid_levels,
+            crop=CROP,
+        )
+        feat = jax.tree.map(np.asarray, feat)
         rect = np.asarray(out.rect)
+        origins = feat["origin"]
+        margin = 12  # blur/Sobel/vote support around the mask
 
         for j, v in enumerate(chunk):
             if rect[j, 2] == 0 or rect[j, 3] == 0:
                 continue  # nothing rendered (is_image_valid == false)
-            tid = det.add_template(
-                rgb[j],
-                mask[j],
-                cfg.class_id,
-                depth_mm=depth[j] if cfg.detector.use_depth_normal else None,
-            )
+            if rect[j, 2] > CROP - 2 * margin or rect[j, 3] > CROP - 2 * margin:
+                # Object larger than the crop window: full-frame fallback
+                # (transfers this view's frame on demand; rare).
+                tid = det.add_template(
+                    np.asarray(out.rgb[j]),
+                    np.asarray(out.mask[j]),
+                    cfg.class_id,
+                    depth_mm=(np.asarray(out.depth_mm[j])
+                              if dp.use_depth_normal else None),
+                )
+            else:
+                pre = {
+                    "grad": [(q[j], m[j]) for (q, m) in feat["grad"]],
+                    "norm": [q[j] for q in feat["norm"]],
+                }
+                tid = det.add_template(
+                    np.zeros((CROP, CROP, 3), np.uint8),  # unused with `pre`
+                    feat["mask"][0][j],
+                    cfg.class_id,
+                    depth_mm=(np.zeros((CROP, CROP), np.uint16)
+                              if dp.use_depth_normal else None),
+                    precomputed=pre,
+                )
+                if tid >= 0:
+                    # rect0 is crop-local; re-base to full-frame coords.
+                    t = det._templates[cfg.class_id][tid]
+                    x0, y0, w0, h0 = t.rect0
+                    t.rect0 = (x0 + int(origins[1][j]), y0 + int(origins[0][j]),
+                               w0, h0)
             if tid < 0:
                 continue  # too few features -> skip view (renderer.cpp:308-315)
             # distance = D_obj - center surface depth (renderer.cpp:284-285)
-            cd = depth[j, cfg.height // 2, cfg.width // 2] / 1000.0
+            cd = float(feat["center_depth"][j]) / 1000.0
             Rs.append(v.R)
             Ts.append(v.T)
             Ks.append(K_np)

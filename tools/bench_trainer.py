@@ -1,0 +1,49 @@
+"""Offline-trainer throughput: views/sec end-to-end (render on the live
+backend + host featurization), the BASELINE 'end-to-end offline trainer'
+config.  Writes TRAINING.json.
+
+Usage: python tools/bench_trainer.py [max_views] [out.json]
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from linemod_pose_estimation_tpu.models.trainer import TrainerConfig, train_from_stl
+from linemod_pose_estimation_tpu.utils.viewsphere import ViewSphereParams
+
+
+def main():
+    max_views = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out = sys.argv[2] if len(sys.argv) > 2 else "TRAINING.json"
+    cfg = TrainerConfig(
+        view_sphere=ViewSphereParams(
+            n_points=150, angle_step=10, radius_min=0.5, radius_max=1.0,
+            radius_step=0.1,
+        ),
+    )
+    t0 = time.perf_counter()
+    det, bank = train_from_stl(
+        "/root/reference/config/stl/boxNew.stl", cfg, max_views=max_views,
+        progress=True,
+    )
+    dt = time.perf_counter() - t0
+    rec = {
+        "backend": jax.default_backend(),
+        "requested_views": max_views,
+        "templates": bank.num_templates,
+        "wall_s": round(dt, 2),
+        "views_per_s": round(max_views / dt, 2),
+        "config": "reference launch scale: n_points=150 angle_step=10 radius 0.5-1.0 step 0.1, 640x480",
+    }
+    print(json.dumps(rec))
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
