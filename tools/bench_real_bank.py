@@ -1,0 +1,79 @@
+"""Throughput + accuracy of the REAL trained bank (tools/train_full_bank.py
+output): cold-start load through the native parser, batched matching on the
+live backend, and a rendered-scene detection spot-check.  Writes
+REALBANK.json — the headline bench uses synthetic random banks; this is the
+same engine on an actual reference-scale bank.
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    tpl = sys.argv[1] if len(sys.argv) > 1 else "/tmp/boxNew_full_templates.yml"
+    prm = sys.argv[2] if len(sys.argv) > 2 else "/tmp/boxNew_full_params.yml"
+    B, iters = 16, 30
+
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.renderer import Renderer
+    from linemod_pose_estimation_tpu.models.serving import BatchedMatcher
+    from linemod_pose_estimation_tpu.models.templates import TemplateBank
+
+    t0 = time.perf_counter()
+    det = Detector.read(tpl)
+    meta, glob = TemplateBank.read_params_yaml(prm)
+    load_s = time.perf_counter() - t0
+    cid = det.class_ids[0]
+    n = det.num_templates(cid)
+
+    bm = BatchedMatcher(det, cid, threshold=91.0, batch=B)
+
+    # Scenes: rendered trained views planted on black (one per batch slot).
+    r = Renderer("/root/reference/config/stl/boxNew.stl", glob.width,
+                 glob.height, glob.focal_length_x, glob.focal_length_y)
+    ids = [i * max(n // B, 1) for i in range(B)]
+    frames = []
+    for i in ids:
+        out = r.render(meta.R[i], meta.T[i])
+        frames.append(np.asarray(out.rgb))
+    rgbs = jnp.asarray(np.stack(frames))
+
+    m = bm.match_batch(rgbs)
+    jax.block_until_ready(m.similarity)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        m = bm.match_batch(rgbs)
+    jax.block_until_ready(m.similarity)
+    dt = (time.perf_counter() - t0) / iters
+    fps = B / dt
+
+    # Accuracy spot-check: each slot must find its own view at high score.
+    ok = np.asarray(m.valid)
+    sims = np.asarray(m.similarity)
+    found = int(sum(bool(ok[b].any() and sims[b][ok[b]].max() >= 95.0)
+                    for b in range(B)))
+    rec = {
+        "backend": jax.default_backend(),
+        "templates": n,
+        "cold_start_load_s": round(load_s, 2),
+        "batch": B,
+        "fps_per_chip": round(fps, 2),
+        "scenes_found_at_95": f"{found}/{B}",
+        "best_scores": [round(float(sims[b][ok[b]].max()), 2) if ok[b].any() else 0.0
+                        for b in range(B)],
+    }
+    print(json.dumps(rec))
+    with open("REALBANK.json", "w") as f:
+        json.dump(rec, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
