@@ -189,7 +189,15 @@ def refine_scores_pallas(
     # (int8 tile = 32 sublanes x 128 lanes; the patch stays int8 to quarter
     # the per-candidate DMA, the hot cost at batched candidate counts).
     PR = _round_up(32 + E0 + window + 8, 32)
-    PC = _round_up(128 + E0 + window, 128)
+    # The LANE width must be a power of two: Mosaic's lane rotate (and/or
+    # the strided patch DMA) silently produces wrong data at non-power-of-
+    # two lane-tile multiples — measured on v5e: PC=256 and 512 are exact,
+    # PC=384 and 768 corrupt every candidate (caught by the real 2652-
+    # template bank whose extent(0)=200 pushed PC to 384; synthetic benches
+    # at E0=96 stayed at 256 and never tripped it).
+    PC = 256
+    while PC < 128 + E0 + window:
+        PC *= 2
     Rp = jnp.pad(Rflat, [(0, 0), (0, PR), (0, PC)]).astype(jnp.int8)
 
     # Align the DMA base; fold residuals into the feature offsets.
