@@ -29,8 +29,16 @@ from ..ops.icp import icp_two_stage
 
 
 class BatchedMatcher:
+    """`prune=True` turns on the exact hierarchical pruning pass
+    (ops.match upper-bound GEMM + survivor compaction): the expensive
+    coarse GEMM runs over at most `prune_cap` templates whose cell-max
+    upper bound reaches the selection threshold somewhere in the batch.
+    Exactness: every candidate at or above `threshold - 5` survives;
+    `self.last_prune` (a PruneResult, device-side) reports the survivor
+    count and the overflow flag for the most recent batch."""
+
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
-                 top_k: int = 256):
+                 top_k: int = 256, prune: bool = False, prune_cap: int = 1024):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -44,6 +52,15 @@ class BatchedMatcher:
         self.feats0 = bank.merged_features(0)
         self.use_depth = p.use_depth_normal
         self.weak = p.color.weak_threshold
+        self.prune = prune
+        self.prune_cap = min(prune_cap, int(self.feats1.oris.shape[0]))
+        self.last_prune = None
+        if prune:
+            n_mod = 2 if self.use_depth else 1
+            self.W1_rows = jnp.asarray(self.W1).T  # template-major (N, K)
+            self.W_cell = M.build_cell_weights(
+                self.feats1, 8 * n_mod, self.T1, self.Kc1
+            )
         self._build()
 
     def _build(self):
@@ -74,6 +91,32 @@ class BatchedMatcher:
             jax.vmap(_sel, in_axes=(0, None, None, None)),
             static_argnames=("Hc", "Wc"),
         )
+        if self.prune:
+            n_cap = self.prune_cap
+
+            def _prune(Rb, W_cell, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.prune_templates_batched(
+                    Rb, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1, n_cap
+                )
+
+            self._prune = jax.jit(_prune, static_argnames=("Hc", "Wc"))
+            self._coarse_sub = jax.jit(
+                lambda Rb, Wr, idx: M.coarse_scores_gemm_flat_batched_sub(
+                    Rb, Wr, idx, T1, Kc1
+                )
+            )
+
+            def _sel_sub(raw_sub, f1, idx, keep, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.select_candidates_flat_sub(
+                    raw_sub, f1.count, vpos, idx, keep, thr - 5.0, top_k, Wc
+                )
+
+            self._sel_sub = jax.jit(
+                jax.vmap(_sel_sub, in_axes=(0, None, None, None, None, None)),
+                static_argnames=("Hc", "Wc"),
+            )
         if jax.default_backend() == "cpu":
             self._refine = jax.jit(
                 jax.vmap(
@@ -96,13 +139,24 @@ class BatchedMatcher:
     ) -> M.Matches:
         """(B, H, W, 3) uint8 [+ (B, H, W) depth mm] -> batched Matches with
         (B, top_k) arrays (device-side; mask by .valid)."""
+        if self.use_depth and depths_mm is None:
+            raise ValueError(
+                "this bank uses the DepthNormal modality: match_batch "
+                "requires depths_mm (B, H, W) in millimetres"
+            )
         if self.use_depth:
             R0, R1 = self._pre(rgbs, depths_mm)
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
-        raw = self._coarse(R1, self.W1)
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
-        cands = self._sel(raw, self.feats1, Hc, Wc)
+        if self.prune:
+            pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
+            self.last_prune = pr
+            raw_sub = self._coarse_sub(R1, self.W1_rows, pr.idx)
+            cands = self._sel_sub(raw_sub, self.feats1, pr.idx, pr.keep, Hc, Wc)
+        else:
+            raw = self._coarse(R1, self.W1)
+            cands = self._sel(raw, self.feats1, Hc, Wc)
         return self._refine(R0, cands, self.feats0)
 
     def match_batch_list(

@@ -282,6 +282,177 @@ def coarse_scores_gemm_flat_batched(
     return raw.reshape(B, Hc * Wc, -1)
 
 
+# ---------------------------------------------------------------------------
+# Exact hierarchical pruning (the route past the ~300 fps exhaustive-scoring
+# speed-of-light on one chip — PERF.md).
+#
+# Responses are graded 0..4, so for any window position p and template n the
+# true raw score   s(p, n) = sum_f R[ori_f, p + off_f]   is bounded above by
+# replacing each feature's read with the MAX response inside its TxT cell:
+#
+#   s(p, n) <= UB(p, n) = sum_f maxpool_TxT(R)[ori_f, cell_f + p]
+#            = (cheap GEMM)  P_ub[p, :] . W_cell[n, :]
+#
+# where W_cell counts features per (cell, orientation) bin.  The cheap GEMM's
+# contraction axis is C*Kc*Kc = 576 instead of C*T*T*Kc*Kc = 36,864 — 64x
+# less arithmetic — and any template whose UB stays below the selection
+# threshold at EVERY valid position provably cannot produce a candidate, so
+# the expensive exact GEMM runs only over the compacted survivor templates.
+# The bound is exact-safe: the surviving-template exact scores equal the
+# exhaustive path's bit-for-bit (tests/test_prune.py), and the survivor set
+# always contains every template with any position at or above threshold.
+#
+# NOTE this is deliberately NOT the "score a feature subset" bound
+# (s_k + 4*(nf-k)): the one-hot contraction is DENSE — scoring fewer
+# features per template does not shrink the GEMM at all.  Shrinking the
+# contraction axis (subcell -> cell granularity) is what buys the 64x.
+# ---------------------------------------------------------------------------
+
+
+def _ub_patches(R: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
+    """(C, H, W) responses -> (Hc*Wc, Kc*Kc*C) int8 cell-max patch matrix;
+    column order matches build_cell_weights' bin index (qy*Kc + qx)*C + c."""
+    C, H, W = R.shape
+    Hc, Wc = H // T, W // T
+    Rm = R[:, : Hc * T, : Wc * T].reshape(C, Hc, T, Wc, T).max(axis=(2, 4))
+    M = jnp.pad(Rm.transpose(1, 2, 0), [(0, Kc), (0, Kc), (0, 0)])
+    blocks = [
+        M[qy : qy + Hc, qx : qx + Wc, :] for qy in range(Kc) for qx in range(Kc)
+    ]
+    return jnp.concatenate(blocks, axis=-1).reshape(Hc * Wc, -1).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("C", "T", "Kc"))
+def build_cell_weights(feats: LevelFeatures, C: int, T: int, Kc: int) -> jnp.ndarray:
+    """(N, C*Kc*Kc) int8 feature counts per (cell, orientation) bin — the
+    upper-bound GEMM's weights (built once per bank; counts <= T*T < 128)."""
+    N, Fmax = feats.oris.shape
+    qy = jnp.clip(feats.offsets[..., 0] // T, 0, Kc - 1)
+    qx = jnp.clip(feats.offsets[..., 1] // T, 0, Kc - 1)
+    row = (qy * Kc + qx) * C + feats.oris
+    Wc_ = jnp.zeros((N, C * Kc * Kc), jnp.int8)
+    return Wc_.at[jnp.arange(N)[:, None], row].add(
+        jnp.where(feats.live, jnp.int8(1), jnp.int8(0))
+    )
+
+
+class PruneResult(NamedTuple):
+    """Survivor-template compaction of a bank for one frame batch.
+
+    idx:      (n_cap,) int32 — global template ids of the survivors (top
+              n_cap by upper-bound score when over capacity)
+    keep:     (n_cap,) bool  — which slots hold real survivors
+    n_survivors: ()    int32 — true survivor count (before capping)
+    overflow: ()       bool  — n_survivors > n_cap: the pruned pass kept the
+              n_cap highest-bound templates and exactness is no longer
+              guaranteed for the remainder (callers may re-run exhaustive)
+    """
+
+    idx: jnp.ndarray
+    keep: jnp.ndarray
+    n_survivors: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("T", "Kc", "n_cap"))
+def prune_templates_batched(
+    Rb: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    n_cap: int,
+) -> PruneResult:
+    """Upper-bound pass over a (B, C, H, W) response batch: returns the
+    compacted set of templates whose UB similarity reaches `threshold` at
+    any valid position of any frame (a superset of every template that can
+    appear as a candidate at that threshold)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    N = W_cell.shape[0]
+    P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
+    ub = jax.lax.dot_general(
+        P_ub,
+        W_cell,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B*Hc*Wc, N)
+    scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
+    sim_ub = ub.reshape(B, Hc * Wc, N).astype(jnp.float32) * scale[None, None, :]
+    sim_ub = jnp.where(vpos_flat[None], sim_ub, -1.0)
+    t_score = jnp.max(sim_ub, axis=(0, 1))  # (N,)
+    # Small slack: float rounding must never flip a borderline UB below an
+    # exact score at threshold (slack only ADDS survivors — still exact).
+    eligible = t_score >= threshold - 1e-3
+    n_surv = jnp.sum(eligible.astype(jnp.int32))
+    k = min(n_cap, N)
+    vals, idx = jax.lax.top_k(jnp.where(eligible, t_score, -jnp.inf), k)
+    return PruneResult(
+        idx.astype(jnp.int32), vals > -jnp.inf, n_surv, n_surv > k
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm_flat_batched_sub(
+    Rb: jnp.ndarray, W_rows: jnp.ndarray, idx: jnp.ndarray, T: int, Kc: int
+) -> jnp.ndarray:
+    """Exact coarse GEMM over survivor templates only: (B, Hc*Wc, n_cap).
+
+    W_rows is the TEMPLATE-MAJOR one-hot weight matrix (N, C*T*T*Kc*Kc) —
+    row gathers are contiguous DMA, unlike lane-axis column gathers of the
+    (K, N) layout.  Scores for dead `idx` slots are garbage; callers mask
+    them via PruneResult.keep (select_candidates_flat_sub does)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    W_sub = W_rows[idx]  # (n_cap, K_dim)
+    P = jax.vmap(lambda R: _gemm_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
+    raw = jax.lax.dot_general(
+        P,
+        W_sub,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return raw.reshape(B, Hc * Wc, -1)
+
+
+@partial(jax.jit, static_argnames=("top_k", "Wc", "exact"))
+def select_candidates_flat_sub(
+    raw_sub: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    idx: jnp.ndarray,
+    keep: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+    Wc: int,
+    exact: bool = False,
+) -> CoarseMatches:
+    """select_candidates_flat over survivor-compacted scores (Hc*Wc, n_cap):
+    template ids map back through `idx`, dead slots mask to -1.  The valid
+    (>= threshold) candidate set matches the exhaustive path's exactly."""
+    P, n_cap = raw_sub.shape
+    scale = 100.0 / (4.0 * jnp.maximum(total_features[idx], 1).astype(jnp.float32))
+    vpos_sub = vpos_flat[:, idx] & keep[None, :]
+    sim = jnp.where(vpos_sub, raw_sub.astype(jnp.float32) * scale[None, :], -1.0)
+    flat = sim.reshape(-1)
+    k = min(top_k, flat.shape[0])
+    if exact:
+        vals, fidx = jax.lax.top_k(flat, k)
+    else:
+        vals, fidx = jax.lax.approx_max_k(flat, k)
+    t_sub = fidx % n_cap
+    pos = fidx // n_cap
+    return CoarseMatches(
+        idx[t_sub].astype(jnp.int32),
+        (pos // Wc).astype(jnp.int32),
+        (pos % Wc).astype(jnp.int32),
+        vals,
+        vals >= threshold,
+    )
+
+
 @partial(jax.jit, static_argnames=("T", "Kc"))
 def coarse_scores_gemm(R: jnp.ndarray, W_gemm: jnp.ndarray, T: int, Kc: int) -> jnp.ndarray:
     """Raw scores (N, Hc, Wc) int32 (template-major view of
