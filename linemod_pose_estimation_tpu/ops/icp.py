@@ -213,23 +213,24 @@ def icp_lm(
         tgt = scene_safe[nn]
 
         def lm_body(carry, _):
-            lam_c, cost_c = carry
-            delta = _lm_step(cur, tgt, w, lam_c)
-            new_cost = cost_of(delta, cur, tgt, w)
+            # Accepted steps COMPOSE and re-linearize (PCL's LM inner loop):
+            # each solve is about the current best transform T_lm, the
+            # candidate is delta @ T_lm, and the accept test compares true
+            # costs of composed transforms — not repeats of one stale solve.
+            T_lm, lam_c, cost_c = carry
+            cur_lm = cur @ T_lm[:3, :3].T + T_lm[:3, 3]
+            step = _lm_step(cur_lm, tgt, w, lam_c)
+            T_cand = step @ T_lm
+            new_cost = cost_of(T_cand, cur, tgt, w)
             accept = new_cost < cost_c
+            T_n = jnp.where(accept, T_cand, T_lm)
             lam_n = jnp.where(accept, lam_c * 0.5, lam_c * 10.0)
-            return (lam_n, jnp.minimum(new_cost, cost_c)), (delta, accept)
+            return (T_n, lam_n, jnp.minimum(new_cost, cost_c)), None
 
         cost0 = cost_of(jnp.eye(4), cur, tgt, w)
-        (lam_f, _), (deltas, accepts) = jax.lax.scan(
-            lm_body, (lam, cost0), None, length=lm_iterations
+        (delta, lam_f, _), _ = jax.lax.scan(
+            lm_body, (jnp.eye(4), lam, cost0), None, length=lm_iterations
         )
-        # Take the last accepted delta (identity if none accepted).
-        any_ok = jnp.any(accepts)
-        last = jnp.argmax(
-            jnp.where(accepts, jnp.arange(lm_iterations), -1)
-        )
-        delta = jnp.where(any_ok, deltas[last], jnp.eye(4))
         Tn = delta @ T
         dr = jnp.sum((delta[:3, :3] - jnp.eye(3)) ** 2)
         dt = jnp.sum(delta[:3, 3] ** 2)

@@ -133,13 +133,20 @@ def _voxel_hash(points: jnp.ndarray, leaf: float) -> jnp.ndarray:
 
 
 def statistical_outlier_removal(
-    points: jnp.ndarray, valid: jnp.ndarray, mean_k: int = 50, std_mul: float = 1.0
+    points: jnp.ndarray, valid: jnp.ndarray, mean_k: int = 50, std_mul: float = 1.0,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """PCL StatisticalOutlierRemoval semantics (rgbdDetector.cpp:1437-1448):
 
     per-point mean distance to its `mean_k` nearest neighbours; drop points
     whose mean distance exceeds global mean + std_mul * stddev.  Returns the
     updated validity mask.
+
+    `exact=True` uses exact lax.top_k for the kNN (PCL-equivalent
+    semantics, ~4 ms slower at 1024 points on TPU); the default
+    approx_max_k has ~0.95 recall of the true neighbours, which biases
+    mean-kNN distances slightly upward and can flip borderline points on
+    parity-sensitive paths.
     """
     pts = pad_cloud(points, valid)
     d2 = pairwise_sq_dists(pts, pts)
@@ -150,7 +157,10 @@ def statistical_outlier_removal(
     # approx_min_k: hardware-accelerated partial reduction (exact top_k
     # sorts each row and costs ~4 ms at 1024 points on TPU; recall ~0.95+,
     # and SOR is a statistical gate — the mean-of-kNN barely moves).
-    neg_topk = jax.lax.approx_max_k(-d2, k)[0]
+    if exact:
+        neg_topk = jax.lax.top_k(-d2, k)[0]
+    else:
+        neg_topk = jax.lax.approx_max_k(-d2, k)[0]
     dists = jnp.sqrt(jnp.maximum(-neg_topk, 0.0))
     # Only average over neighbours that exist (finite).
     finite = jnp.isfinite(dists)

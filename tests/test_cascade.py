@@ -229,6 +229,7 @@ def test_cluster_member_cap_overflow_keeps_best():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_renderer_parity_pinned_vs_shipped_bank():
     """Pin the renderer's deviation against the shipped 2652-template bank
     (E2 parity): bbox within 4 px and center depth within 2 mm of the
@@ -250,6 +251,7 @@ def test_renderer_parity_pinned_vs_shipped_bank():
         assert abs(d_mm - want_mm) <= 2.0, (tid, d_mm, want_mm)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_full_cascade_rgbd_modality(pipeline):
     """BASELINE config 'depth-normal modality + ICP': train a dual-modality
@@ -298,6 +300,7 @@ def test_full_cascade_rgbd_modality(pipeline):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_full_cascade_nonlinear_icp_variant(pipeline):
     """icp_variant='nonlinear' (the icpNonLinearPoseRefine 3-pass LM
     schedule) recovers the pose through the full cascade too."""
@@ -335,6 +338,7 @@ def test_full_cascade_nonlinear_icp_variant(pipeline):
     assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_full_cascade_local_descriptor_strategy(pipeline):
     """position_strategy='local_descriptor' (SHOT + Hough full-pose path,

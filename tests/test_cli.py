@@ -62,6 +62,7 @@ def _make_replay(d, tpl, prm):
     return path
 
 
+@pytest.mark.slow
 def test_cli_detect_and_serve(trained_bank):
     d, tpl, prm = trained_bank
     frame = _make_replay(d, tpl, prm)

@@ -47,6 +47,7 @@ def setup():
     return det, pipe, r, meta, kept
 
 
+@pytest.mark.slow
 def test_accuracy_clean_synthetic_within_1px_1deg(setup, tmp_path):
     det, pipe, r, meta, kept = setup
     view_ids = list(range(len(kept)))

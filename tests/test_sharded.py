@@ -90,6 +90,7 @@ def test_sharded_detect_step_runs(rng, mesh8):
     assert -1.0 <= float(metrics["best_similarity"]) <= 100.0
 
 
+@pytest.mark.slow
 def test_sharded_detect_equals_single_device(rng, mesh8):
     """The sharded step (GEMM coarse + per-shard refine + ICI merge) must
     find the planted template at the same place/score as the single-device
@@ -183,6 +184,7 @@ def test_frame_batcher_and_global_put(rng, mesh8):
     np.testing.assert_array_equal(np.asarray(g_rgbs), rgbs)
 
 
+@pytest.mark.slow
 def test_row_sharded_matcher_equals_single_device(rng, mesh8):
     """Context-parallel analog: frame rows sharded over the mesh with a
     ppermute halo exchange must reproduce the single-device match exactly."""

@@ -37,6 +37,7 @@ def test_view_sphere_grid_size():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_trainer_produces_bank_and_yaml(tmp_path):
     tyml = str(tmp_path / "templates.yml")
     pyml = str(tmp_path / "params.yml")
