@@ -84,6 +84,12 @@ class CascadeParams:
     ld_min_votes: int = 5
     # Ensenso geometry (service.cpp:212, 324-326)
     bias_x: int = 0
+    # Rough-pose re-render viewport: the re-rendered object sits at the
+    # principal point, so rasterizing a centered VP x VP window (principal
+    # point moved to VP/2) produces the identical model cloud and mask at
+    # ~(W*H)/(VP^2) less rasterizer work — the reference's renderDepthOnly
+    # is likewise rect-local (rgbdDetector.cpp:712-721).  0 = full frame.
+    render_viewport: int = 256
     # Static capacities
     max_matches: int = 512
     max_cells: int = 64
@@ -330,8 +336,8 @@ def _transplanted_scene_mask(
     sy = yy - Y + rect[1]
     sx = xx - X + rect[0]
     inb = (yy >= Y) & (yy < Y + rect[3]) & (xx >= X) & (xx < X + rect[2])
-    sy = jnp.clip(sy, 0, H - 1)
-    sx = jnp.clip(sx, 0, W - 1)
+    sy = jnp.clip(sy, 0, mask.shape[0] - 1)
+    sx = jnp.clip(sx, 0, mask.shape[1] - 1)
     return inb & (mask[sy, sx] > 0)
 
 
@@ -370,13 +376,21 @@ def rough_pose_and_refine(
     R_avg = geo.quat_to_matrix(q_avg)
 
     # Re-render at the averaged pose (renderDepthOnly/renderImageOnly at
-    # -T_match with up = -row1(R), rgbdDetector.cpp:712-721).
+    # -T_match with up = -row1(R), rgbdDetector.cpp:712-721).  The object
+    # projects at the principal point, so a centered viewport window with
+    # cx = cy = VP/2 rasterizes the same rays at a fraction of the pixels.
+    vp = params.render_viewport
+    if vp and vp < min(rw, rh):
+        K_r = K_render.at[0, 2].set(vp / 2.0).at[1, 2].set(vp / 2.0)
+        r_w = r_h = vp
+    else:
+        K_r, r_w, r_h = K_render, rw, rh
     out = render_fn(triangles, R_avg.astype(jnp.float32), T_aver.astype(jnp.float32),
-                    K_render, rw, rh)
+                    K_r, r_w, r_h)
     depth_m = out.depth_mm / 1000.0
 
     # Model cloud: depthTo3d of the rendered view, masked (cpp:795-812).
-    mcloud = pcu.depth_to_cloud(depth_m, K_render)
+    mcloud = pcu.depth_to_cloud(depth_m, K_r)
     msel = (out.mask > 0) & jnp.all(jnp.isfinite(mcloud), axis=-1)
     model_pts, model_valid = _compact_points(
         mcloud.reshape(-1, 3), msel.reshape(-1), params.model_cap

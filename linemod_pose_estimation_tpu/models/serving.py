@@ -30,15 +30,17 @@ from ..ops.icp import icp_two_stage
 
 class BatchedMatcher:
     """`prune=True` turns on the exact hierarchical pruning pass
-    (ops.match upper-bound GEMM + survivor compaction): the expensive
-    coarse GEMM runs over at most `prune_cap` templates whose cell-max
-    upper bound reaches the selection threshold somewhere in the batch.
-    Exactness: every candidate at or above `threshold - 5` survives;
-    `self.last_prune` (a PruneResult, device-side) reports the survivor
-    count and the overflow flag for the most recent batch."""
+    (ops.match upper-bound GEMM + two-axis survivor compaction): the
+    expensive coarse GEMM runs over at most `prune_cap` templates x
+    `prune_pos_cap` window positions whose cell-max upper bound reaches
+    the selection threshold.  Exactness: every candidate at or above
+    `threshold - 5` survives; `self.last_prune` (a PrunePlan,
+    device-side) reports survivor counts and the overflow flag for the
+    most recent batch."""
 
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
-                 top_k: int = 256, prune: bool = False, prune_cap: int = 1024):
+                 top_k: int = 256, prune: bool = False, prune_cap: int = 1024,
+                 prune_pos_cap: int = 256):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -54,6 +56,7 @@ class BatchedMatcher:
         self.weak = p.color.weak_threshold
         self.prune = prune
         self.prune_cap = min(prune_cap, int(self.feats1.oris.shape[0]))
+        self.prune_pos_cap = prune_pos_cap
         self.last_prune = None
         if prune:
             n_mod = 2 if self.use_depth else 1
@@ -92,29 +95,30 @@ class BatchedMatcher:
             static_argnames=("Hc", "Wc"),
         )
         if self.prune:
-            n_cap = self.prune_cap
+            n_cap, m_cap = self.prune_cap, self.prune_pos_cap
 
             def _prune(Rb, W_cell, f1, Hc, Wc):
                 vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-                return M.prune_templates_batched(
-                    Rb, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1, n_cap
+                return M.prune_plan_batched(
+                    Rb, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1, n_cap, m_cap
                 )
 
             self._prune = jax.jit(_prune, static_argnames=("Hc", "Wc"))
             self._coarse_sub = jax.jit(
-                lambda Rb, Wr, idx: M.coarse_scores_gemm_flat_batched_sub(
-                    Rb, Wr, idx, T1, Kc1
+                lambda Rb, Wr, t_idx, p_idx: M.coarse_scores_gemm_flat_batched_sub2(
+                    Rb, Wr, t_idx, p_idx, T1, Kc1
                 )
             )
 
-            def _sel_sub(raw_sub, f1, idx, keep, Hc, Wc):
+            def _sel_sub(raw_sub, p_idx, p_keep, f1, t_idx, t_keep, Hc, Wc):
                 vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-                return M.select_candidates_flat_sub(
-                    raw_sub, f1.count, vpos, idx, keep, thr - 5.0, top_k, Wc
+                return M.select_candidates_flat_sub2(
+                    raw_sub, f1.count, vpos, t_idx, t_keep, p_idx, p_keep,
+                    thr - 5.0, top_k, Wc
                 )
 
             self._sel_sub = jax.jit(
-                jax.vmap(_sel_sub, in_axes=(0, None, None, None, None, None)),
+                jax.vmap(_sel_sub, in_axes=(0, 0, 0, None, None, None, None, None)),
                 static_argnames=("Hc", "Wc"),
             )
         if jax.default_backend() == "cpu":
@@ -152,8 +156,9 @@ class BatchedMatcher:
         if self.prune:
             pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
             self.last_prune = pr
-            raw_sub = self._coarse_sub(R1, self.W1_rows, pr.idx)
-            cands = self._sel_sub(raw_sub, self.feats1, pr.idx, pr.keep, Hc, Wc)
+            raw_sub = self._coarse_sub(R1, self.W1_rows, pr.t_idx, pr.p_idx)
+            cands = self._sel_sub(raw_sub, pr.p_idx, pr.p_keep, self.feats1,
+                                  pr.t_idx, pr.t_keep, Hc, Wc)
         else:
             raw = self._coarse(R1, self.W1)
             cands = self._sel(raw, self.feats1, Hc, Wc)
@@ -191,13 +196,20 @@ def template_refinement(
     model_cap: int = 1024,
     scene_cap: int = 1024,
     bias_x: int = 0,
+    viewport: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One re-render + re-ICP round at an estimated pose (carmine
-    templateRefinement): returns (refined pose, icp fitness)."""
+    templateRefinement): returns (refined pose, icp fitness).
+
+    `viewport`: centered re-render window (the object projects at the
+    principal point; see CascadeParams.render_viewport).  0 = full frame."""
     from .renderer import render as render_fn
     from .cascade import _transplanted_scene_mask, _compact_points
 
     rw, rh = render_wh
+    if viewport and viewport < min(rw, rh):
+        K_render = K_render.at[0, 2].set(viewport / 2.0).at[1, 2].set(viewport / 2.0)
+        rw = rh = viewport
     R = pose[:3, :3]
     t = pose[:3, 3]
     T_bank = R.T @ t  # render() camera parameterization: X_cam = R(X + T)

@@ -54,11 +54,15 @@ def pad_bank_features(feats: M.LevelFeatures, shards: int) -> M.LevelFeatures:
 
 
 class ShardedBank(NamedTuple):
-    """Device-ready bank for the sharded detect step: level-1 GEMM weights
-    (K_dim, N) and both levels' features, all sharded on the template axis.
-    """
+    """Device-ready bank for the sharded detect step, all sharded on the
+    template axis: level-1 GEMM weights in TEMPLATE-MAJOR (N, K_dim) layout
+    (the production pruned path row-gathers survivors; the exhaustive GEMM
+    contracts the same array on its K axis), the cell-level upper-bound
+    weights (N, C*Kc^2) for hierarchical pruning, and both levels'
+    features."""
 
-    W1: jnp.ndarray
+    W1_rows: jnp.ndarray
+    W_cell: jnp.ndarray
     feats1: M.LevelFeatures
     feats0: M.LevelFeatures
 
@@ -71,10 +75,12 @@ def make_sharded_bank(
     n_bank = mesh.shape["bank"]
     feats1 = pad_bank_features(feats1, n_bank)
     feats0 = pad_bank_features(feats0, n_bank)
-    W1 = M.build_gemm_weights(feats1, C, T1, Kc1)
+    W1_rows = M.build_gemm_weights(feats1, C, T1, Kc1).T
+    W_cell = M.build_cell_weights(feats1, C, T1, Kc1)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return ShardedBank(
-        W1=put(W1, P(None, "bank")),
+        W1_rows=put(W1_rows, P("bank", None)),
+        W_cell=put(W_cell, P("bank", None)),
         feats1=jax.tree.map(lambda a: put(a, P("bank")), feats1),
         feats0=jax.tree.map(lambda a: put(a, P("bank")), feats0),
     )
@@ -273,6 +279,10 @@ def make_sharded_detect_step(
     use_depth: bool = False,
     coarse_margin: float = 5.0,
     weak_threshold: float = 10.0,
+    prune: bool = True,
+    prune_cap: int = 1024,
+    prune_pos_cap: int = 256,
+    use_pallas_refine: bool | None = None,
 ):
     """The full multi-chip detect step over a raw frame batch:
 
@@ -281,16 +291,28 @@ def make_sharded_detect_step(
       -> Matches with (B, top_k) arrays [P("data")], metrics psum'd over
          the whole mesh.
 
-    Per device: preprocess its local frames -> int8 GEMM over its bank
-    shard (the production MXU engine) -> per-shard top-k -> level-0
-    refinement of its own candidates -> ICI all-gather + global top-k.
-    This is the function the driver dry-runs across virtual devices
-    (__graft_entry__.dryrun_multichip).
+    Per device, the SAME kernels as the single-chip production path
+    (models/serving.BatchedMatcher): preprocess its local frames, the
+    hierarchical-pruning upper-bound GEMM + two-axis survivor compaction
+    over its bank shard (prune=False: the exhaustive batched int8 GEMM),
+    position-major flat candidate select, ONE Pallas refinement dispatch
+    over all local B*top_k candidates (XLA slices off-TPU), then ICI
+    all-gather + global top-k.  Pruning composes with bank-TP for free:
+    the bound and compaction are shard-local, so no extra collectives —
+    each chip prunes its own shard and the wire still carries O(top_k)
+    records.  This is the function the driver dry-runs across virtual
+    devices (__graft_entry__.dryrun_multichip).
     """
+    if use_pallas_refine is None:
+        use_pallas_refine = jax.default_backend() not in ("cpu",)
     feats_spec = M.LevelFeatures(
         offsets=P("bank"), oris=P("bank"), live=P("bank"), count=P("bank"), size=P("bank")
     )
-    bank_spec = ShardedBank(W1=P(None, "bank"), feats1=feats_spec, feats0=feats_spec)
+    bank_spec = ShardedBank(
+        W1_rows=P("bank", None), W_cell=P("bank", None),
+        feats1=feats_spec, feats0=feats_spec,
+    )
+    sel_thr = max(threshold - coarse_margin, 0.0)
 
     def local_step(rgbs, depths, bank):
         n_local = bank.feats1.oris.shape[0]
@@ -304,23 +326,45 @@ def make_sharded_detect_step(
             return M.stack_modalities(pyr, use_depth)
 
         R0, R1 = jax.vmap(pre)(rgbs, depths)
+        Hc, Wc = R1.shape[2] // T1, R1.shape[3] // T1
+        vpos = M.position_validity_flat(bank.feats1.size, T1, Hc, Wc)
 
-        def one_frame(R1f, R0f):
-            raw = M.coarse_scores_gemm(R1f, bank.W1, T1, Kc1)
-            Hc, Wc = raw.shape[1:]
-            vpos = M.position_validity(bank.feats1.size, T1, Hc, Wc)
-            cand = M.select_candidates(
-                raw, bank.feats1.count, vpos, max(threshold - coarse_margin, 0.0), top_k
+        if prune:
+            plan = M.prune_plan_batched(
+                R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,
+                min(prune_cap, n_local), prune_pos_cap,
             )
-            ref = M.refine_candidates_slices(
-                R0f, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0
+            raw_sub = M.coarse_scores_gemm_flat_batched_sub2(
+                R1, bank.W1_rows, plan.t_idx, plan.p_idx, T1, Kc1
             )
-            return M.Matches(
-                template_id=ref.template_id + shard * n_local,
-                x=ref.x, y=ref.y, similarity=ref.similarity, valid=ref.valid,
-            )
+            cand = jax.vmap(
+                lambda raw, pi, pk: M.select_candidates_flat_sub2(
+                    raw, bank.feats1.count, vpos, plan.t_idx, plan.t_keep,
+                    pi, pk, sel_thr, top_k, Wc,
+                )
+            )(raw_sub, plan.p_idx, plan.p_keep)
+        else:
+            raw = M.coarse_scores_gemm_flat_batched(R1, bank.W1_rows.T, T1, Kc1)
+            cand = jax.vmap(
+                lambda r: M.select_candidates_flat(
+                    r, bank.feats1.count, vpos, sel_thr, top_k, Wc
+                )
+            )(raw)
 
-        mat = jax.vmap(one_frame)(R1, R0)
+        if use_pallas_refine:
+            ref = M.refine_candidates_pallas_batched(
+                R0, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0
+            )
+        else:
+            ref = jax.vmap(
+                lambda R0f, c: M.refine_candidates_slices(
+                    R0f, bank.feats0, c, T1, threshold, E0=E0, fine_T=T0
+                )
+            )(R0, cand)
+        mat = M.Matches(
+            template_id=ref.template_id + shard * n_local,
+            x=ref.x, y=ref.y, similarity=ref.similarity, valid=ref.valid,
+        )
         merged = _merge_topk(mat, top_k, threshold, "bank")
         num = jax.lax.psum(
             jnp.sum(merged.valid.astype(jnp.int32)), ("data", "bank")

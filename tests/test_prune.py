@@ -139,6 +139,57 @@ def test_survivors_superset_of_threshold_templates(rng):
     assert above <= kept
 
 
+def test_plan_two_axis_equals_exhaustive(rng):
+    """Two-axis plan (positions x templates): the valid candidate set of the
+    survivor-grid GEMM must equal the exhaustive engine's."""
+    n, top_k, thr = 64, 64, 80.0
+    feats = _bank(rng, n)
+    Rb_np = np.array(_frames(rng, b=2, sparse=0.5, hi=3))
+    Rb_np = _plant(Rb_np, feats, tid=5, b=0, py=3, px=4)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=1, py=7, px=9)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=0, py=8, px=2)  # two instances
+    Rb = jnp.asarray(Rb_np)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_rows = jnp.asarray(W_gemm).T
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    raw = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)
+    ref_sets = [
+        _valid_set(M.select_candidates_flat(raw[b], feats.count, vpos, thr,
+                                            top_k, Wc, exact=True))
+        for b in range(B)
+    ]
+    assert all(len(s) for s in ref_sets)
+
+    plan = M.prune_plan_batched(Rb, W_cell, feats.count, vpos, thr, T1, KC,
+                                n_cap=n, m_cap=Hc * Wc)
+    assert not bool(plan.overflow)
+    assert int(plan.m_survivors.max()) < Hc * Wc, "positions should prune"
+    raw_sub = M.coarse_scores_gemm_flat_batched_sub2(
+        Rb, W_rows, plan.t_idx, plan.p_idx, T1, KC)
+    for b in range(B):
+        got = M.select_candidates_flat_sub2(
+            raw_sub[b], feats.count, vpos, plan.t_idx, plan.t_keep,
+            plan.p_idx[b], plan.p_keep[b], thr, top_k, Wc, exact=True)
+        assert _valid_set(got) == ref_sets[b]
+
+
+def test_plan_position_overflow_flag(rng):
+    n = 32
+    feats = _bank(rng, n)
+    Rb = _frames(rng, b=1, sparse=0.0)  # dense: every position survives
+    Hc, Wc = Rb.shape[2] // T1, Rb.shape[3] // T1
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+    plan = M.prune_plan_batched(Rb, W_cell, feats.count, vpos, 10.0, T1, KC,
+                                n_cap=n, m_cap=8)
+    assert bool(plan.overflow)
+    assert int(plan.m_survivors[0]) > 8
+
+
 def test_overflow_flag_and_graceful_degradation(rng):
     n = 64
     feats = _bank(rng, n)
