@@ -179,6 +179,184 @@ def evaluate_vs_opencv(detector, renderer, meta, view_ids, threshold=85.0,
     }
 
 
+def make_ab_scenes(renderer, meta, view_ids, W, H, rng,
+                   n_shifted=40, n_cluttered=30, n_multi=20, n_occluded=15,
+                   n_negative=15) -> list:
+    """Scene corpus for the bank-level A/B: planted real rendered views over
+    low-texture backgrounds (the bin-picking regime), in five categories —
+    shifted (clean), cluttered (distractor boxes + texture patches),
+    multi-instance (two plants), occluded (a bar across ~35% of the object),
+    and object-free negatives.  Returns [(rgb, [(x, y) truths], category)].
+    """
+    import numpy as np
+
+    views = {}
+    for vid in view_ids:
+        out = renderer.render(meta.R[vid], meta.T[vid])
+        rgb = np.asarray(out.rgb)
+        mask = np.asarray(out.mask) > 0
+        x, y, w, h = (int(v) for v in np.asarray(out.rect))
+        views[vid] = (rgb[y:y + h, x:x + w], mask[y:y + h, x:x + w], x, y)
+
+    yy, xx = np.mgrid[0:H, 0:W]
+
+    def background(clutter: bool):
+        base = (40 + 60 * yy / H + 30 * np.sin(xx / 190.0)).astype(np.uint8)
+        fr = np.stack(
+            [base, (base * 0.92).astype(np.uint8),
+             np.clip(base * 1.08, 0, 255).astype(np.uint8)], -1,
+        )
+        n_rect = 6 if clutter else 0
+        for _ in range(n_rect):
+            y0 = int(rng.integers(0, H - 90)); x0 = int(rng.integers(0, W - 130))
+            fr[y0:y0 + 90, x0:x0 + 130] = rng.integers(50, 180, size=3)
+        if clutter:  # high-frequency texture patches (strong random gradients)
+            for _ in range(3):
+                y0 = int(rng.integers(0, H - 64)); x0 = int(rng.integers(0, W - 64))
+                fr[y0:y0 + 64, x0:x0 + 64] = rng.integers(
+                    0, 255, size=(64, 64, 3), dtype=np.uint8
+                )
+        return fr
+
+    def plant(fr, vid, occlude=False):
+        sub_rgb, sub_mask, x, y = views[vid]
+        h, w = sub_mask.shape
+        dy = int(rng.integers(-y, H - (y + h)))
+        dx = int(rng.integers(-x, W - (x + w)))
+        m = sub_mask
+        if occlude:
+            m = sub_mask.copy()
+            bar = max(1, int(0.35 * h))
+            b0 = int(rng.integers(0, h - bar))
+            m[b0:b0 + bar] = False
+            fr[y + dy + b0:y + dy + b0 + bar, x + dx:x + dx + w] = \
+                rng.integers(40, 200, size=3)
+        fr[y + dy:y + dy + h, x + dx:x + dx + w][m] = sub_rgb[m]
+        return (x + dx, y + dy)
+
+    vlist = list(views.keys())
+    scenes = []
+    for _ in range(n_shifted):
+        fr = background(False)
+        scenes.append((fr, [plant(fr, vlist[int(rng.integers(len(vlist)))])], "shifted"))
+    for _ in range(n_cluttered):
+        fr = background(True)
+        scenes.append((fr, [plant(fr, vlist[int(rng.integers(len(vlist)))])], "cluttered"))
+    for _ in range(n_multi):
+        fr = background(True)
+        truths = [plant(fr, vlist[int(rng.integers(len(vlist)))]) for _ in range(2)]
+        scenes.append((fr, truths, "multi"))
+    for _ in range(n_occluded):
+        fr = background(False)
+        scenes.append(
+            (fr, [plant(fr, vlist[int(rng.integers(len(vlist)))], occlude=True)],
+             "occluded")
+        )
+    for _ in range(n_negative):
+        scenes.append((background(True), [], "negative"))
+    return scenes
+
+
+def evaluate_bank_ab(detector, scenes, threshold=92.0,
+                     class_id: str | None = None, hit_radius: int = 8) -> dict:
+    """Bank-level A/B vs the genuine cv::linemod engine (VERDICT r2 item 3b).
+
+    Both engines carry the SAME templates (our trained bank bridged through
+    the yml interchange) and match the same scene corpus — shifted, cluttered,
+    multi-instance, occluded, and object-free negatives at the production
+    threshold.  Per scene we record whether each engine finds each planted
+    object (any above-threshold match within `hit_radius` px of the planted
+    bbox origin) and, when both engines' best matches share a template, the
+    score/position deltas.
+
+    `scenes`: list of (rgb, planted, category) with planted = [(x, y)] truth
+    bbox origins (empty for negatives).
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .utils import oracle as ORC
+
+    if not ORC.available():
+        return {"available": False}
+    cid = class_id or detector.class_ids[0]
+    fd, path = tempfile.mkstemp(suffix=".yml")
+    os.close(fd)
+    try:
+        detector.write(path, cid)
+        orc = ORC.LinemodOracle.read(path)
+    finally:
+        os.unlink(path)
+
+    cats: dict[str, dict] = {}
+    score_d, px_d, tmpl_mismatch = [], [], 0
+    agree_scene = 0
+    for rgb, planted, cat in scenes:
+        c = cats.setdefault(
+            cat, {"scenes": 0, "objects": 0, "ours_hits": 0, "oracle_hits": 0,
+                  "object_agreement": 0, "ours_fp": 0, "oracle_fp": 0},
+        )
+        c["scenes"] += 1
+        xyt, sim = orc.match(rgb, threshold)
+        ours = detector.match(rgb, threshold, class_ids=[cid])[cid]
+        n_ours = len(ours)
+        if (n_ours > 0) == (len(sim) > 0):
+            agree_scene += 1
+        if not planted:
+            c["ours_fp"] += int(n_ours > 0)
+            c["oracle_fp"] += int(len(sim) > 0)
+            continue
+        for (tx, ty) in planted:
+            c["objects"] += 1
+            o_hit = bool(
+                len(sim) and np.any(
+                    (np.abs(xyt[:, 0] - tx) <= hit_radius)
+                    & (np.abs(xyt[:, 1] - ty) <= hit_radius)
+                )
+            )
+            u_hit = bool(
+                n_ours and np.any(
+                    (np.abs(np.asarray(ours.x) - tx) <= hit_radius)
+                    & (np.abs(np.asarray(ours.y) - ty) <= hit_radius)
+                )
+            )
+            c["ours_hits"] += int(u_hit)
+            c["oracle_hits"] += int(o_hit)
+            c["object_agreement"] += int(u_hit == o_hit)
+        if len(sim) and n_ours:
+            ub = int(np.argmax(ours.similarity))
+            same = np.flatnonzero(xyt[:, 2] == int(ours.template_id[ub]))
+            score_d.append(
+                abs(float(sim.max()) - float(ours.similarity[ub]))
+            )
+            if same.size:
+                ob = int(same[np.argmax(sim[same])])
+                px_d.append(
+                    float(np.hypot(float(xyt[ob][0]) - float(ours.x[ub]),
+                                   float(xyt[ob][1]) - float(ours.y[ub])))
+                )
+            else:
+                tmpl_mismatch += 1
+
+    n_scenes = sum(c["scenes"] for c in cats.values())
+    n_obj = sum(c["objects"] for c in cats.values())
+    return {
+        "available": True,
+        "n_scenes": n_scenes,
+        "n_objects": n_obj,
+        "scene_hit_miss_agreement": agree_scene / max(n_scenes, 1),
+        "object_agreement": (
+            sum(c["object_agreement"] for c in cats.values()) / max(n_obj, 1)
+        ),
+        "score_delta": _stats(score_d),
+        "px_delta": _stats(px_d),
+        "template_mismatches": tmpl_mismatch,
+        "by_category": cats,
+    }
+
+
 def summarize(match_cases: list[EvalCase], pose_cases: list[EvalCase]) -> dict:
     return {
         "match": {

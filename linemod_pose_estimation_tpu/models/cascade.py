@@ -90,6 +90,14 @@ class CascadeParams:
     # ~(W*H)/(VP^2) less rasterizer work — the reference's renderDepthOnly
     # is likewise rect-local (rgbdDetector.cpp:712-721).  0 = full frame.
     render_viewport: int = 256
+    # Template-refinement rounds (carmine templateRefinement, carmine:
+    # 555-652): after the ICP stages, re-render the model at the REFINED
+    # pose — replacing the orientation-cluster-average geometry with the
+    # pose-consistent view — and re-run ICP against the same scene points.
+    # Each round removes the residual between the averaged template
+    # rotation (bank angle_step quantization) and the actual object pose.
+    refine_rounds: int = 0
+    refine_icp_iter: int = 30
     # Static capacities
     max_matches: int = 512
     max_cells: int = 64
@@ -342,8 +350,17 @@ def _transplanted_scene_mask(
 
 
 def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int):
-    order = jnp.argsort(~sel_flat, stable=True)[:cap]
-    valid = sel_flat[order]
+    """Compact up to `cap` selected points.  When more than `cap` points are
+    selected, keep every k-th valid point (k = ceil(n/cap)) rather than the
+    first `cap` in raster order: raster truncation keeps only the TOP rows
+    of the object, and ICP on that sliver loses the pose information carried
+    by the full outline (the strided subset covers the whole mask)."""
+    n = jnp.sum(sel_flat)
+    k = jnp.maximum((n + cap - 1) // cap, 1)
+    rank = jnp.cumsum(sel_flat) - 1
+    sel = sel_flat & (rank % k == 0)
+    order = jnp.argsort(~sel, stable=True)[:cap]
+    valid = sel[order]
     pts = jnp.where(valid[:, None], pts_flat[order], pcu.SENTINEL)
     return pts.astype(jnp.float32), valid
 
@@ -512,10 +529,49 @@ def rough_pose_and_refine(
         )
     pose = icp_res.transform @ pose0
     model_final = model_pts_t @ icp_res.transform[:3, :3].T + icp_res.transform[:3, 3]
+    hv_model_valid = model_valid
+
+    # Template-refinement rounds (carmine templateRefinement, carmine:
+    # 555-652).  Render the object ON the optical axis at distance |t| with
+    # the refined rotation (the same convention as the rough-pose render),
+    # then translate the cloud by t - (0, 0, |t|): exactly the model surface
+    # at the refined pose, with no surface-centroid approximation.
+    for _ in range(params.refine_rounds):
+        Rp = pose[:3, :3]
+        tp = pose[:3, 3]
+        d = jnp.maximum(jnp.linalg.norm(tp), 1e-3)
+        out_r = render_fn(
+            triangles, Rp.astype(jnp.float32),
+            (Rp.T @ jnp.array([0.0, 0.0, 1.0]) * d).astype(jnp.float32),
+            K_r, r_w, r_h,
+        )
+        rc = pcu.depth_to_cloud(out_r.depth_mm / 1000.0, K_r)
+        rsel = (out_r.mask > 0) & jnp.all(jnp.isfinite(rc), axis=-1)
+        rpts, rvalid = _compact_points(
+            rc.reshape(-1, 3), rsel.reshape(-1), params.model_cap
+        )
+        rpts, rvalid = pcu.voxel_grid_filter(
+            rpts, rvalid, params.voxel_leaf, params.model_cap
+        )
+        rpts = rpts + (tp - jnp.array([0.0, 0.0, 1.0]) * d)[None, :]
+        rr = icp_two_stage(
+            rpts, rvalid, scene_pts, scene_valid,
+            coarse_iterations=params.refine_icp_iter,
+            coarse_corr_dist=params.icp_fine_corr_dist * 2.0,
+            coarse_rejection=params.icp_fine_ransac,
+            transform_epsilon=params.icp_tr_epsilon,
+            fine_iterations=params.icp_fine_iter,
+            fine_corr_dist=params.icp_fine_corr_dist,
+            fine_rejection=params.icp_fine_ransac,
+        )
+        pose = rr.transform @ pose
+        icp_res = icp_res._replace(fitness=rr.fitness)
+        model_final = rpts @ rr.transform[:3, :3].T + rr.transform[:3, 3]
+        hv_model_valid = rvalid
 
     # Hypothesis verification: voxel-occupancy rate (cpp:1457-1506).
     hv_rate = pcu.voxel_occupancy_rate(
-        model_final, model_valid, scene_pts, scene_valid, params.hv_resolution
+        model_final, hv_model_valid, scene_pts, scene_valid, params.hv_resolution
     )
     hv_ok = (~jnp.array(params.enable_hv)) | (hv_rate >= params.hv_threshold)
 

@@ -40,7 +40,7 @@ class BatchedMatcher:
 
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
                  top_k: int = 256, prune: bool = False, prune_cap: int = 1024,
-                 prune_pos_cap: int = 256):
+                 prune_pos_cap: int = 256, prune_mode: str = "positions"):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -55,12 +55,14 @@ class BatchedMatcher:
         self.use_depth = p.use_depth_normal
         self.weak = p.color.weak_threshold
         self.prune = prune
+        self.prune_mode = prune_mode
         self.prune_cap = min(prune_cap, int(self.feats1.oris.shape[0]))
         self.prune_pos_cap = prune_pos_cap
         self.last_prune = None
         if prune:
             n_mod = 2 if self.use_depth else 1
-            self.W1_rows = jnp.asarray(self.W1).T  # template-major (N, K)
+            if prune_mode == "two_axis":
+                self.W1_rows = jnp.asarray(self.W1).T  # template-major (N, K)
             self.W_cell = M.build_cell_weights(
                 self.feats1, 8 * n_mod, self.T1, self.Kc1
             )
@@ -94,7 +96,33 @@ class BatchedMatcher:
             jax.vmap(_sel, in_axes=(0, None, None, None)),
             static_argnames=("Hc", "Wc"),
         )
-        if self.prune:
+        if self.prune and self.prune_mode == "positions":
+            m_cap = self.prune_pos_cap
+
+            def _prune(Rb, W_cell, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.prune_positions_batched(
+                    Rb, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1, m_cap
+                )
+
+            self._prune = jax.jit(_prune, static_argnames=("Hc", "Wc"))
+            self._coarse_pos = jax.jit(
+                lambda Rb, W, p_idx: M.coarse_scores_gemm_flat_batched_pos(
+                    Rb, W, p_idx, T1, Kc1
+                )
+            )
+
+            def _sel_pos(raw_sub, p_idx, p_keep, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.select_candidates_flat_pos(
+                    raw_sub, f1.count, vpos, p_idx, p_keep, thr - 5.0, top_k, Wc
+                )
+
+            self._sel_pos = jax.jit(
+                jax.vmap(_sel_pos, in_axes=(0, 0, 0, None, None, None)),
+                static_argnames=("Hc", "Wc"),
+            )
+        elif self.prune:
             n_cap, m_cap = self.prune_cap, self.prune_pos_cap
 
             def _prune(Rb, W_cell, f1, Hc, Wc):
@@ -153,7 +181,13 @@ class BatchedMatcher:
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
-        if self.prune:
+        if self.prune and self.prune_mode == "positions":
+            pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
+            self.last_prune = pr
+            raw_sub = self._coarse_pos(R1, self.W1, pr.p_idx)
+            cands = self._sel_pos(raw_sub, pr.p_idx, pr.p_keep, self.feats1,
+                                  Hc, Wc)
+        elif self.prune:
             pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
             self.last_prune = pr
             raw_sub = self._coarse_sub(R1, self.W1_rows, pr.t_idx, pr.p_idx)

@@ -532,6 +532,132 @@ def select_candidates_flat_sub2(
     )
 
 
+@partial(jax.jit, static_argnames=("T", "Kc", "m_cap"))
+def prune_positions_batched(
+    Rb: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    m_cap: int,
+) -> PrunePlan:
+    """Position-axis-only pruning (the axis that actually prunes on real
+    banks): one cell-max upper-bound GEMM -> per-frame survivor positions.
+
+    Measured on the reference-scale trained bank over bin-picking scenes:
+    ~1-5% of coarse positions hold every above-threshold (position,
+    template) pair, while the batch-union TEMPLATE axis keeps 60-90% of a
+    one-object bank (its views are self-similar, and the union dilutes
+    with batch size).  Dropping the template axis keeps the exact GEMM's
+    weight matrix STATIC — no (n_cap, K) gather, whose HBM traffic
+    dominated the two-axis sub-GEMM — so the exact pass shrinks to
+    (B*m_cap, K) x (K, N) with the same W as the exhaustive path.
+
+    Returns a PrunePlan whose template axis is the identity (t_idx =
+    arange, t_keep = all); exactness: every (position, template) with
+    exact score >= threshold survives, because the cell-max bound
+    dominates the exact response at every feature."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    N = W_cell.shape[0]
+    P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
+    ub = jax.lax.dot_general(
+        P_ub, W_cell,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
+    sim_ub = ub.reshape(B, Hc * Wc, N).astype(jnp.float32) * scale[None, None, :]
+    sim_ub = jnp.where(vpos_flat[None], sim_ub, -1.0)
+    thr = threshold - 1e-3  # float slack only ADDS survivors — still exact
+
+    p_score = jnp.max(sim_ub, axis=2)  # (B, P)
+    p_elig = p_score >= thr
+    m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
+    km = min(m_cap, Hc * Wc)
+    pv, p_idx = jax.lax.top_k(jnp.where(p_elig, p_score, -jnp.inf), km)
+
+    return PrunePlan(
+        jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool),
+        p_idx.astype(jnp.int32), pv > -jnp.inf,
+        jnp.asarray(N, jnp.int32), m_surv, jnp.any(m_surv > km),
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm_flat_batched_pos(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    T: int,
+    Kc: int,
+) -> jnp.ndarray:
+    """Exact coarse GEMM over survivor POSITIONS with the full static
+    (K, N) weight matrix: (B, m_cap, N).  No weight gather at all, and no
+    full patch-matrix materialization either: the (B, P, K) patch tensor is
+    ~1.7 GB at reference scale and costs ~2 ms/frame to write+read, while
+    the (Hc+Kc, Wc+Kc, C*T*T) linearized-cell tensor it is built from is
+    ~300x smaller — so gather each survivor's Kc*Kc cell vectors straight
+    from the small tensor (column order matches _gemm_patches' block
+    concat: (qy*Kc + qx)*C*T*T + lane)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    m_cap = p_idx.shape[1]
+    L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
+    Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
+    py, px = p_idx // Wc, p_idx % Wc  # (B, m_cap) cell coords
+    q = jnp.arange(Kc, dtype=jnp.int32)
+    cell = (
+        (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
+        + (px[..., None, None] + q[None, None, None, :])
+    ).reshape(B, m_cap, Kc * Kc)
+    P_sub = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell)  # (B, m, Kc*Kc, CTT)
+    raw = jax.lax.dot_general(
+        P_sub.reshape(B * m_cap, -1), W_gemm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return raw.reshape(B, m_cap, -1)
+
+
+@partial(jax.jit, static_argnames=("top_k", "Wc", "exact"))
+def select_candidates_flat_pos(
+    raw_sub: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    p_keep: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+    Wc: int,
+    exact: bool = False,
+) -> CoarseMatches:
+    """Candidate selection over the (m_cap, N) survivor-position scores of
+    ONE frame; positions map back through p_idx.  The valid (>= threshold)
+    candidate set matches the exhaustive path's exactly (no overflow)."""
+    m_cap, N = raw_sub.shape
+    scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
+    vpos_sub = vpos_flat[p_idx] & p_keep[:, None]
+    sim = jnp.where(vpos_sub, raw_sub.astype(jnp.float32) * scale[None, :], -1.0)
+    flat = sim.reshape(-1)
+    k = min(top_k, flat.shape[0])
+    if exact:
+        vals, fidx = jax.lax.top_k(flat, k)
+    else:
+        vals, fidx = jax.lax.approx_max_k(flat, k)
+    t_sub = fidx % N
+    pos = p_idx[fidx // N]
+    return CoarseMatches(
+        t_sub.astype(jnp.int32),
+        (pos // Wc).astype(jnp.int32),
+        (pos % Wc).astype(jnp.int32),
+        vals,
+        vals >= threshold,
+    )
+
+
 @partial(jax.jit, static_argnames=("T", "Kc"))
 def coarse_scores_gemm_flat_batched_sub(
     Rb: jnp.ndarray, W_rows: jnp.ndarray, idx: jnp.ndarray, T: int, Kc: int

@@ -268,6 +268,165 @@ def make_row_sharded_matcher(
     return jax.jit(fn)
 
 
+class RingBank(NamedTuple):
+    """Bank layout for the ring-rotation step: level-1 GEMM weights in the
+    contraction-ready (K_dim, N) layout with N sharded over the ring axis,
+    plus both feature levels (template axis sharded the same way)."""
+
+    W1: jnp.ndarray
+    feats1: M.LevelFeatures
+    feats0: M.LevelFeatures
+
+
+def make_ring_bank(
+    mesh: Mesh, axis: str, feats1: M.LevelFeatures, feats0: M.LevelFeatures,
+    C: int, T1: int, Kc1: int,
+) -> RingBank:
+    n = mesh.shape[axis]
+    feats1 = pad_bank_features(feats1, n)
+    feats0 = pad_bank_features(feats0, n)
+    W1 = M.build_gemm_weights(feats1, C, T1, Kc1)  # (K, N)
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    return RingBank(
+        W1=put(W1, P(None, axis)),
+        feats1=jax.tree.map(lambda a: put(a, P(axis)), feats1),
+        feats0=jax.tree.map(lambda a: put(a, P(axis)), feats0),
+    )
+
+
+def make_ring_detect_step(
+    mesh: Mesh,
+    axis: str,
+    T1: int,
+    Kc1: int,
+    top_k: int,
+    threshold: float,
+    T0: int = 5,
+    E0: int = 96,
+    use_depth: bool = False,
+    coarse_margin: float = 5.0,
+    weak_threshold: float = 10.0,
+    use_pallas_refine: bool | None = None,
+):
+    """Ring-pipelined bank rotation (SURVEY.md §5 scale-axis note: "rotate
+    template shards around devices while frames stream" — the moral
+    equivalent of ring attention / context-parallel pipelining).
+
+    Layout: frames are DATA-parallel over the single `axis` (each device
+    owns B/n frames and preprocesses them ONCE); the bank is sharded 1/n
+    per device and ROTATES: at step t, device d scores its own frames
+    against shard (d - t) mod n, refines the step's candidates with that
+    shard's level-0 features (still local — features rotate with the
+    weights), folds them into a running top-k, and `ppermute`s the shard
+    to its ring neighbour.  After n steps every frame has met every
+    template with NO all-gather of scores and NO frame replication; XLA's
+    async collective-permute lets the next shard stream over ICI while the
+    current GEMM runs, so the wire hides behind compute.
+
+    vs the static bank-TP step (make_sharded_detect_step): static TP
+    replicates every FRAME to all devices (B*H*W bytes broadcast per batch)
+    and all-gathers per-shard matches; the ring moves WEIGHT shards
+    (n-1 ppermute hops of |W|/n each, total |W| per batch) and nothing
+    else.  The ring wins when frames outweigh the bank per batch —
+    B*frame_bytes > |W| — i.e. large batches or small banks; static TP
+    wins for huge banks at small batch.
+
+    Inputs: rgbs (B, H, W, 3) u8 [P(axis)], depths (B, H, W) f32,
+    bank: RingBank (make_ring_bank).  Output: Matches (B, top_k) [P(axis)],
+    identical (as a valid-set) to the single-device engine.
+    """
+    n = mesh.shape[axis]
+    if use_pallas_refine is None:
+        use_pallas_refine = jax.default_backend() not in ("cpu",)
+    feats_spec = M.LevelFeatures(
+        offsets=P(axis), oris=P(axis), live=P(axis), count=P(axis), size=P(axis)
+    )
+    bank_spec = RingBank(W1=P(None, axis), feats1=feats_spec, feats0=feats_spec)
+    sel_thr = max(threshold - coarse_margin, 0.0)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local_step(rgbs, depths, bank):
+        n_local = bank.feats1.oris.shape[0]
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+
+        def pre(rgb, depth):
+            pyr = M.preprocess_frame(
+                rgb, depth, T0=T0, T1=T1, use_depth=use_depth,
+                weak_threshold=weak_threshold,
+            )
+            return M.stack_modalities(pyr, use_depth)
+
+        R0, R1 = jax.vmap(pre)(rgbs, depths)
+        B_loc = R1.shape[0]
+        Hc, Wc = R1.shape[2] // T1, R1.shape[3] // T1
+
+        best = M.Matches(
+            template_id=jnp.zeros((B_loc, top_k), jnp.int32),
+            x=jnp.zeros((B_loc, top_k), jnp.int32),
+            y=jnp.zeros((B_loc, top_k), jnp.int32),
+            similarity=jnp.full((B_loc, top_k), -1.0, jnp.float32),
+            valid=jnp.zeros((B_loc, top_k), bool),
+        )
+        W1, feats1, feats0 = bank.W1, bank.feats1, bank.feats0
+        for t in range(n):
+            # Kick the NEXT shard onto the wire first: XLA's async
+            # collective-permute overlaps the hop with this step's GEMM.
+            if t + 1 < n:
+                nxt = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a, axis, perm),
+                    (W1, feats1, feats0),
+                )
+            vpos = M.position_validity_flat(feats1.size, T1, Hc, Wc)
+            raw = M.coarse_scores_gemm_flat_batched(R1, W1, T1, Kc1)
+            cand = jax.vmap(
+                lambda r: M.select_candidates_flat(
+                    r, feats1.count, vpos, sel_thr, top_k, Wc
+                )
+            )(raw)
+            if use_pallas_refine:
+                ref = M.refine_candidates_pallas_batched(
+                    R0, feats0, cand, T1, threshold, E0=E0, fine_T=T0
+                )
+            else:
+                ref = jax.vmap(
+                    lambda R0f, c: M.refine_candidates_slices(
+                        R0f, feats0, c, T1, threshold, E0=E0, fine_T=T0
+                    )
+                )(R0, cand)
+            shard_id = jnp.mod(d - t, n)  # which shard this device holds now
+            cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+            sims = cat(best.similarity, ref.similarity)
+            vals, idx = jax.lax.top_k(
+                jnp.where(cat(best.valid, ref.valid), sims, -1.0), top_k
+            )
+            take = lambda a, b: jnp.take_along_axis(cat(a, b), idx, axis=1)
+            best = M.Matches(
+                template_id=take(
+                    best.template_id, ref.template_id + shard_id * n_local
+                ),
+                x=take(best.x, ref.x),
+                y=take(best.y, ref.y),
+                similarity=vals,
+                valid=take(best.valid, ref.valid) & (vals >= threshold),
+            )
+            if t + 1 < n:
+                W1, feats1, feats0 = nxt
+        return best
+
+    out_spec = M.Matches(
+        template_id=P(axis), x=P(axis), y=P(axis),
+        similarity=P(axis), valid=P(axis),
+    )
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), bank_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_detect_step(
     mesh: Mesh,
     T1: int,

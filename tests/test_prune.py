@@ -177,6 +177,44 @@ def test_plan_two_axis_equals_exhaustive(rng):
         assert _valid_set(got) == ref_sets[b]
 
 
+def test_position_only_equals_exhaustive(rng):
+    """Position-only plan (static weights, no template gather — the
+    production mode on real one-object banks): valid candidate set equals
+    the exhaustive engine's."""
+    n, top_k, thr = 64, 64, 80.0
+    feats = _bank(rng, n)
+    Rb_np = np.array(_frames(rng, b=2, sparse=0.5, hi=3))
+    Rb_np = _plant(Rb_np, feats, tid=5, b=0, py=3, px=4)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=1, py=7, px=9)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=0, py=8, px=2)
+    Rb = jnp.asarray(Rb_np)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    raw = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)
+    ref_sets = [
+        _valid_set(M.select_candidates_flat(raw[b], feats.count, vpos, thr,
+                                            top_k, Wc, exact=True))
+        for b in range(B)
+    ]
+    assert all(len(s) for s in ref_sets)
+
+    plan = M.prune_positions_batched(Rb, W_cell, feats.count, vpos, thr, T1,
+                                     KC, m_cap=Hc * Wc)
+    assert not bool(plan.overflow)
+    assert int(plan.m_survivors.max()) < Hc * Wc, "positions should prune"
+    raw_sub = M.coarse_scores_gemm_flat_batched_pos(Rb, W_gemm, plan.p_idx,
+                                                    T1, KC)
+    for b in range(B):
+        got = M.select_candidates_flat_pos(
+            raw_sub[b], feats.count, vpos, plan.p_idx[b], plan.p_keep[b],
+            thr, top_k, Wc, exact=True)
+        assert _valid_set(got) == ref_sets[b]
+
+
 def test_plan_position_overflow_flag(rng):
     n = 32
     feats = _bank(rng, n)

@@ -242,3 +242,67 @@ def test_row_sharded_matcher_equals_single_device(rng, mesh8):
         assert (int(mat.x[b]), int(mat.y[b])) == (
             int(ref.x[rbest]), int(ref.y[rbest]),
         ), (py, px)
+
+
+def test_ring_detect_equals_single_device(rng):
+    """Ring-pipelined bank rotation (SURVEY.md §5): frames stay put, bank
+    shards rotate with ppermute — after n hops the valid match set equals
+    the single-device engine's."""
+    import sys
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+    from linemod_pose_estimation_tpu.parallel.sharded_match import (
+        make_ring_bank, make_ring_detect_step,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("ring",))
+    patch, mask = make_object_patch(rng)
+    det = Detector(DetectorParams(), engine="gather")
+    for shift in (0, 4, 9):
+        src = plant((128, 128, 3), patch, (30, 40 + shift))
+        src_mask = plant((128, 128), mask, (30, 40 + shift))
+        assert det.add_template(src, src_mask, "obj") >= 0
+    bank = det.bank("obj")
+    feats1, feats0 = bank.merged_features(1), bank.merged_features(0)
+    T0, T1 = det.params.t_pyramid
+    Kc1 = bank.max_cell_extent(1)
+    E0 = bank.extent(0)
+
+    rb = make_ring_bank(mesh, "ring", feats1, feats0, C=8, T1=T1, Kc1=Kc1)
+    frames = np.stack([
+        plant((128, 128, 3), patch, (30, 40)),
+        plant((128, 128, 3), patch, (38, 34)),
+        plant((128, 128, 3), patch, (10, 80)),
+        np.zeros((128, 128, 3), np.uint8),
+    ])
+    rgbs = jax.device_put(jnp.asarray(frames), NamedSharding(mesh, P("ring")))
+    depths = jax.device_put(
+        jnp.zeros((4, 128, 128), jnp.float32), NamedSharding(mesh, P("ring"))
+    )
+    step = make_ring_detect_step(
+        mesh, "ring", T1, Kc1, top_k=8, threshold=90.0, T0=T0, E0=E0
+    )
+    mat = step(rgbs, depths, rb)
+
+    for b in range(4):
+        ref = det.match(frames[b], 90.0)["obj"]
+        got = {
+            (int(t), int(x), int(y), round(float(s), 3))
+            for t, x, y, s, v in zip(
+                np.asarray(mat.template_id[b]), np.asarray(mat.x[b]),
+                np.asarray(mat.y[b]), np.asarray(mat.similarity[b]),
+                np.asarray(mat.valid[b]),
+            ) if v
+        }
+        want = {
+            (int(ref.template_id[i]), int(ref.x[i]), int(ref.y[i]),
+             round(float(ref.similarity[i]), 3))
+            for i in range(len(ref))
+        }
+        assert got == want, f"frame {b}: {got} != {want}"

@@ -4,6 +4,10 @@ live backend, and a rendered-scene detection spot-check.  Writes
 REALBANK.json — the headline bench uses synthetic random banks; this is the
 same engine on an actual reference-scale bank.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -5,6 +5,10 @@ bin-picking regime the reference operates in; VERDICT r2 item 1).
 
 Usage: python tools/profile_prune.py [templates_yml] [params_yml] [B] [iters]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 
@@ -177,6 +181,33 @@ def main():
                        pr.t_idx, pr.t_keep)
     t_ref = _time(lambda: refine_b(R0, cand_sub, feats0), iters, label="refine")
 
+    # Position-only pruning: static weights (no template gather).
+    m_caps = [m_cap, 128]
+    pos_results = []
+    for mc in m_caps:
+        prune_pos = jax.jit(lambda Rb, Wc_, cnt, vp, mc=mc: M.prune_positions_batched(
+            Rb, Wc_, cnt, vp, thr - 5.0, T1, Kc1, mc))
+        coarse_pos = jax.jit(lambda Rb, W, pi: M.coarse_scores_gemm_flat_batched_pos(
+            Rb, W, pi, T1, Kc1))
+        sel_pos = jax.jit(jax.vmap(
+            lambda raw, pi, pk, cnt, vp: M.select_candidates_flat_pos(
+                raw, cnt, vp, pi, pk, thr - 5.0, top_k, Wc),
+            in_axes=(0, 0, 0, None, None)))
+        pp = prune_pos(R1, W_cell, feats1.count, vpos)
+        t_pp = _time(lambda: prune_pos(R1, W_cell, feats1.count, vpos), iters,
+                     label=f"prune_pos m={mc}")
+        t_cp = _time(lambda: coarse_pos(R1, W_gemm, pp.p_idx), iters,
+                     label=f"coarse_pos m={mc}")
+        raw_pos = coarse_pos(R1, W_gemm, pp.p_idx)
+        t_sp = _time(lambda: sel_pos(raw_pos, pp.p_idx, pp.p_keep,
+                                     feats1.count, vpos), iters,
+                     label=f"select_pos m={mc}")
+        cand_pos = sel_pos(raw_pos, pp.p_idx, pp.p_keep, feats1.count, vpos)
+        pos_results.append((mc, pp, t_pp, t_cp, t_sp, cand_pos))
+        print(f"[prof] pos-only m_cap={mc}: survivors/frame mean "
+              f"{float(np.asarray(pp.m_survivors).mean()):.0f} overflow="
+              f"{bool(pp.overflow)}", flush=True)
+
     # Found-rate sanity: every planted view must be detected by both paths.
     m_ex = refine_b(R0, cand, feats0)
     m_pr = refine_b(R0, cand_sub, feats0)
@@ -201,8 +232,14 @@ def main():
           f"sel_sub {ms(t_ssub):.2f}  refine {ms(t_ref):.2f}", flush=True)
     ex = t_pre + t_coarse + t_sel + t_ref
     pru = t_pre + t_prune + t_csub + t_ssub + t_ref
-    print(f"[prof] fps/chip exhaustive {B / ex:.1f}  pruned {B / pru:.1f}",
+    print(f"[prof] fps/chip exhaustive {B / ex:.1f}  pruned(2-axis) {B / pru:.1f}",
           flush=True)
+    for mc, pp, t_pp, t_cp, t_sp, cand_pos in pos_results:
+        m_po = refine_b(R0, cand_pos, feats0)
+        tot = t_pre + t_pp + t_cp + t_sp + t_ref
+        print(f"[prof] pos-only m_cap={mc}: per-frame ms prune {ms(t_pp):.2f} "
+              f"coarse {ms(t_cp):.2f} sel {ms(t_sp):.2f} -> fps/chip "
+              f"{B / tot:.1f}  found {found(m_po)}/{total}", flush=True)
 
 
 if __name__ == "__main__":

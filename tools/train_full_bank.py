@@ -2,6 +2,10 @@
 write TRAINING.json + the two bank ymls (the 'end-to-end offline trainer'
 BASELINE config at the shipped bank's scale: the reference's
 boxNew_longDistance bank holds 2652 templates)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -4,6 +4,10 @@ both modalities at T={5,8}) at the shipped bank's 2652-view scale.  Writes
 TRAINING_RGBD.json + the two bank ymls; the RGB-D headline bench loads
 this bank so its numbers come from a REAL trained bank, not synthetic
 random features."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time
