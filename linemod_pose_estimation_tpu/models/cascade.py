@@ -98,6 +98,14 @@ class CascadeParams:
     # rotation (bank angle_step quantization) and the actual object pose.
     refine_rounds: int = 0
     refine_icp_iter: int = 30
+    # Dilate the transplanted scene mask before extracting scene points.
+    # The rendered mask lands at the MATCH position, which carries the
+    # T0-1 px plateau of the coarse level; undilated, a 1-px offset clips
+    # the object boundary asymmetrically and biases ICP rotation by
+    # ~px/extent (~0.4 deg for the reference box).  A few px of dilation
+    # keeps the full outline; SOR + the ICP rejection distance drop any
+    # off-object points the dilation admits.
+    scene_mask_dilate_px: int = 2
     # Static capacities
     max_matches: int = 512
     max_cells: int = 64
@@ -415,6 +423,12 @@ def rough_pose_and_refine(
 
     # Scene cloud: rendered mask transplanted to the detected (X, Y).
     smask = _transplanted_scene_mask(out.mask, out.rect, X + params.bias_x, Y, H, W)
+    for _ in range(params.scene_mask_dilate_px):
+        smask = (
+            smask
+            | jnp.roll(smask, 1, 0) | jnp.roll(smask, -1, 0)
+            | jnp.roll(smask, 1, 1) | jnp.roll(smask, -1, 1)
+        )
     ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
     scene_pts, scene_valid = _compact_points(
         cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap

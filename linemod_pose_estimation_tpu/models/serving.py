@@ -262,6 +262,12 @@ def template_refinement(
     smask = _transplanted_scene_mask(
         out.mask, out.rect, jnp.asarray(x + bias_x), jnp.asarray(y), H, W
     )
+    for _ in range(2):  # keep the full outline despite the match-px plateau
+        smask = (
+            smask
+            | jnp.roll(smask, 1, 0) | jnp.roll(smask, -1, 0)
+            | jnp.roll(smask, 1, 1) | jnp.roll(smask, -1, 1)
+        )
     ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
     scene_pts, scene_valid = _compact_points(cloud.reshape(-1, 3), ssel.reshape(-1), scene_cap)
 

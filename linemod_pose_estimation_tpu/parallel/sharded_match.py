@@ -56,10 +56,10 @@ def pad_bank_features(feats: M.LevelFeatures, shards: int) -> M.LevelFeatures:
 class ShardedBank(NamedTuple):
     """Device-ready bank for the sharded detect step, all sharded on the
     template axis: level-1 GEMM weights in TEMPLATE-MAJOR (N, K_dim) layout
-    (the production pruned path row-gathers survivors; the exhaustive GEMM
-    contracts the same array on its K axis), the cell-level upper-bound
-    weights (N, C*Kc^2) for hierarchical pruning, and both levels'
-    features."""
+    (position-only pruning keeps the weights static and contracts on K;
+    the two-axis mode row-gathers survivors from the same array), the
+    cell-level upper-bound weights (N, C*Kc^2) for hierarchical pruning,
+    and both levels' features."""
 
     W1_rows: jnp.ndarray
     W_cell: jnp.ndarray
@@ -441,6 +441,7 @@ def make_sharded_detect_step(
     prune: bool = True,
     prune_cap: int = 1024,
     prune_pos_cap: int = 256,
+    prune_mode: str = "positions",
     use_pallas_refine: bool | None = None,
 ):
     """The full multi-chip detect step over a raw frame batch:
@@ -488,7 +489,23 @@ def make_sharded_detect_step(
         Hc, Wc = R1.shape[2] // T1, R1.shape[3] // T1
         vpos = M.position_validity_flat(bank.feats1.size, T1, Hc, Wc)
 
-        if prune:
+        if prune and prune_mode == "positions":
+            # Position-only pruning (the single-chip production mode):
+            # shard-local on both the bound and the exact GEMM; the weight
+            # matrix stays static (contract bank.W1_rows on its K axis).
+            plan = M.prune_positions_batched(
+                R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,
+                prune_pos_cap,
+            )
+            raw_sub = M.coarse_scores_gemm_flat_batched_pos(
+                R1, bank.W1_rows.T, plan.p_idx, T1, Kc1
+            )
+            cand = jax.vmap(
+                lambda raw, pi, pk: M.select_candidates_flat_pos(
+                    raw, bank.feats1.count, vpos, pi, pk, sel_thr, top_k, Wc,
+                )
+            )(raw_sub, plan.p_idx, plan.p_keep)
+        elif prune:
             plan = M.prune_plan_batched(
                 R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,
                 min(prune_cap, n_local), prune_pos_cap,

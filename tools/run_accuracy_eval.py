@@ -24,6 +24,10 @@ jax.config.update(
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize re-forces the tunneled TPU via jax.config; honor an
+    # explicit host-CPU request (the numbers are backend-independent).
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -72,7 +76,7 @@ def main(out_path: str = "ACCURACY.json") -> None:
     )
     params = CC.CascadeParams(
         canonicalize="none", max_clusters=2, cluster_filter_thresh=0,
-        refine_rounds=1,
+        refine_rounds=1, voxel_leaf=0.001, model_cap=2048, scene_cap=2048,
     )
     pipe = DetectionPipeline(det, meta, glob, STL, params, render_size=(W, H))
 
@@ -105,7 +109,7 @@ def main(out_path: str = "ACCURACY.json") -> None:
         "bank": f"boxNew (shipped reference bank poses, {len(kept)} views) "
                 "+ memoryChip2 (view-sphere)",
         "render": f"{W}x{H} at reference intrinsics",
-        "cascade": "production caps, refine_rounds=1",
+        "cascade": "refine_rounds=1, voxel_leaf=1mm, caps 2048",
         "ab_threshold": THRESH_AB,
         "note": "scenes re-rendered at trained poses; A/B corpus planted on "
                 "low-texture backgrounds with clutter/occlusion/negatives",
