@@ -272,7 +272,91 @@ def _bench_real_bank(B, iters, extra):
     # Single-frame latency through the pruned production path.
     dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
+
+    # End-to-end p50 on a REAL scene: match + the full cascade (voting,
+    # NMS, orientation clustering, viewport re-render, two-stage ICP, HV)
+    # against the real 2652-entry metadata.  On real scenes ICP early-stops
+    # (the synthetic-noise e2e never converges and runs all 150 iters).
+    try:
+        extra["real_e2e_p50_ms"] = round(
+            _e2e_real_ms(match_pruned, meta, glob, frames, depths_np, reps), 2
+        )
+    except Exception as e:  # pragma: no cover
+        extra["real_e2e_error"] = str(e)[:200]
     return fps, use_depth
+
+
+def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from linemod_pose_estimation_tpu.models import cascade as CC
+    from linemod_pose_estimation_tpu.models.renderer import _pad_triangles
+    from linemod_pose_estimation_tpu.ops import match as M
+    from linemod_pose_estimation_tpu.utils import geometry as geo
+    from linemod_pose_estimation_tpu.utils import pointcloud as pcu
+    from linemod_pose_estimation_tpu.utils.stl import load_stl
+
+    mesh = load_stl("/root/reference/config/stl/boxNew.stl")
+    tris = jnp.asarray(_pad_triangles(mesh.triangles.astype(np.float32), 64))
+    K_render = jnp.array(
+        [[glob.focal_length_x, 0, glob.width / 2.0],
+         [0, glob.focal_length_y, glob.height / 2.0], [0, 0, 1.0]], jnp.float32,
+    )
+    p = CC.CascadeParams(canonicalize="none")
+    # metadata tiled like the features (template ids may exceed n0)
+    q_bank = jnp.tile(jnp.asarray(
+        np.asarray(geo.quat_from_matrix(jnp.asarray(meta.R))), jnp.float32), (reps, 1))
+    T_bank = jnp.tile(jnp.asarray(meta.T, jnp.float32), (reps, 1))
+    D_bank = jnp.tile(jnp.asarray(meta.D, jnp.float32), (reps,))
+    Od_bank = jnp.tile(jnp.asarray(meta.Ori_dist, jnp.float32), (reps,))
+    Rect_bank = jnp.tile(jnp.asarray(meta.Rect, jnp.int32), (reps, 1))
+    rmin, rstep = float(glob.radius_min), float(glob.radius_step)
+
+    def pose_stage(matches, cloud):
+        clusters = CC.cluster_matches(
+            matches, Od_bank, Rect_bank, rmin, rstep, p.clustering_step,
+            p.cluster_filter_thresh, p.max_cells, p.members_cap,
+        )
+        keep = CC.nms_iou(clusters, p.iou_threshold)
+        alive = clusters.valid & keep
+        order = jnp.argsort(-jnp.where(alive, clusters.score, -jnp.inf))[: p.max_clusters]
+        midx = clusters.member_idx[order]
+        f = partial(CC.rough_pose_and_refine, params=p,
+                    render_wh=(glob.width, glob.height))
+        poses = jax.vmap(
+            lambda qq, T, D, Odd, x, y, mv, cv, cs: f(
+                qq, T, D, Odd, x, y, mv, cv, cs,
+                cloud=cloud, triangles=tris, K_render=K_render,
+            )
+        )(
+            q_bank[matches.template_id[midx]], T_bank[matches.template_id[midx]],
+            D_bank[matches.template_id[midx]], Od_bank[matches.template_id[midx]],
+            matches.x[midx].astype(jnp.float32), matches.y[midx].astype(jnp.float32),
+            clusters.member_valid[order], alive[order], clusters.score[order],
+        )
+        return poses.pose, poses.valid
+
+    pose_jit = jax.jit(pose_stage)
+    rgb1 = jnp.asarray(frames[:1])
+    dep1 = jnp.asarray(depths_np[:1])
+    cloud = pcu.depth_to_cloud(jnp.asarray(depths_np[0]) / 1000.0, jnp.asarray(K_render))
+
+    def one_frame():
+        m = match_frames(rgb1, dep1)
+        m1 = M.Matches(*(a[0] for a in m))
+        return pose_jit(m1, cloud)
+
+    pose, valid = one_frame()
+    jax.block_until_ready(pose)
+    _log(f"real_e2e: {int(np.asarray(valid).sum())} verified hypotheses")
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(one_frame())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(ts, 50))
 
 
 # ----------------------------------------------------------------------
