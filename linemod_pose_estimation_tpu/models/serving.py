@@ -106,9 +106,12 @@ class BatchedMatcher:
                 )
 
             self._prune = jax.jit(_prune, static_argnames=("Hc", "Wc"))
+            # Pallas strided-DMA patch gather on TPU (XLA's generic gather
+            # for the survivor patches measured ~10x off HBM bandwidth).
+            pallas_gather = jax.default_backend() != "cpu"
             self._coarse_pos = jax.jit(
                 lambda Rb, W, p_idx: M.coarse_scores_gemm_flat_batched_pos(
-                    Rb, W, p_idx, T1, Kc1
+                    Rb, W, p_idx, T1, Kc1, use_pallas=pallas_gather
                 )
             )
 

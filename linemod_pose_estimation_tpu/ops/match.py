@@ -558,7 +558,15 @@ def prune_positions_batched(
     Returns a PrunePlan whose template axis is the identity (t_idx =
     arange, t_keep = all); exactness: every (position, template) with
     exact score >= threshold survives, because the cell-max bound
-    dominates the exact response at every feature."""
+    dominates the exact response at every feature.
+
+    The eligibility test runs in the INT domain: instead of materializing
+    the (B, P, N) f32 similarity (3 extra full passes over the biggest
+    tensor in the pass), each template gets an int32 raw-score threshold
+    t_int[n] = ceil(thr * 4 * nf / 100) and the reduction is a masked
+    int max of (ub - t_int).  The ceil carries a -1e-4 slack so float
+    rounding can only ADD survivors — the set stays a superset of every
+    above-threshold template, i.e. still exact."""
     B, C, H, W = Rb.shape
     Hc, Wc = H // T, W // T
     N = W_cell.shape[0]
@@ -567,32 +575,37 @@ def prune_positions_batched(
         P_ub, W_cell,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+    ).reshape(B, Hc * Wc, N)
+    # Integer threshold per template: ub >= t_int  <=>  sim_ub >= thr
+    # (ub is integral; slacks only ever ADD survivors).
+    t_int = jnp.ceil(
+        (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
+    ).astype(jnp.int32)
+    margin = jnp.where(
+        vpos_flat[None], ub - t_int[None, None, :], jnp.int32(-(2**30))
     )
-    scale = 100.0 / (4.0 * jnp.maximum(total_features, 1).astype(jnp.float32))
-    sim_ub = ub.reshape(B, Hc * Wc, N).astype(jnp.float32) * scale[None, None, :]
-    sim_ub = jnp.where(vpos_flat[None], sim_ub, -1.0)
-    thr = threshold - 1e-3  # float slack only ADDS survivors — still exact
-
-    p_score = jnp.max(sim_ub, axis=2)  # (B, P)
-    p_elig = p_score >= thr
+    p_score = jnp.max(margin, axis=2)  # (B, P) int32
+    p_elig = p_score >= 0
     m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
     km = min(m_cap, Hc * Wc)
-    pv, p_idx = jax.lax.top_k(jnp.where(p_elig, p_score, -jnp.inf), km)
+    pv, p_idx = jax.lax.top_k(jnp.where(p_elig, p_score, -(2**30)), km)
 
     return PrunePlan(
         jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool),
-        p_idx.astype(jnp.int32), pv > -jnp.inf,
+        p_idx.astype(jnp.int32), pv > -(2**30),
         jnp.asarray(N, jnp.int32), m_surv, jnp.any(m_surv > km),
     )
 
 
-@partial(jax.jit, static_argnames=("T", "Kc"))
+@partial(jax.jit, static_argnames=("T", "Kc", "use_pallas", "interpret"))
 def coarse_scores_gemm_flat_batched_pos(
     Rb: jnp.ndarray,
     W_gemm: jnp.ndarray,
     p_idx: jnp.ndarray,
     T: int,
     Kc: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact coarse GEMM over survivor POSITIONS with the full static
     (K, N) weight matrix: (B, m_cap, N).  No weight gather at all, and no
@@ -601,19 +614,30 @@ def coarse_scores_gemm_flat_batched_pos(
     the (Hc+Kc, Wc+Kc, C*T*T) linearized-cell tensor it is built from is
     ~300x smaller — so gather each survivor's Kc*Kc cell vectors straight
     from the small tensor (column order matches _gemm_patches' block
-    concat: (qy*Kc + qx)*C*T*T + lane)."""
+    concat: (qy*Kc + qx)*C*T*T + lane).
+
+    use_pallas: route the patch assembly through the Pallas strided-DMA
+    gather (pallas_kernels.gather_cell_patches, bit-identical; XLA's
+    generic gather for this access pattern measured ~10x off bandwidth
+    and dominated the whole pruned pass)."""
     B, C, H, W = Rb.shape
     Hc, Wc = H // T, W // T
     m_cap = p_idx.shape[1]
     L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
-    Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
-    py, px = p_idx // Wc, p_idx % Wc  # (B, m_cap) cell coords
-    q = jnp.arange(Kc, dtype=jnp.int32)
-    cell = (
-        (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
-        + (px[..., None, None] + q[None, None, None, :])
-    ).reshape(B, m_cap, Kc * Kc)
-    P_sub = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell)  # (B, m, Kc*Kc, CTT)
+    if use_pallas and (C * T * T) % 512 == 0:
+        from .pallas_kernels import gather_cell_patches
+
+        L4 = L.astype(jnp.int8)  # (B, Hc+Kc, Wc+Kc, CTT)
+        P_sub = gather_cell_patches(L4, p_idx, Kc, Wc, interpret=interpret)
+    else:
+        Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
+        py, px = p_idx // Wc, p_idx % Wc  # (B, m_cap) cell coords
+        q = jnp.arange(Kc, dtype=jnp.int32)
+        cell = (
+            (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
+            + (px[..., None, None] + q[None, None, None, :])
+        ).reshape(B, m_cap, Kc * Kc)
+        P_sub = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell)  # (B, m, Kc*Kc, CTT)
     raw = jax.lax.dot_general(
         P_sub.reshape(B * m_cap, -1), W_gemm,
         dimension_numbers=(((1,), (0,)), ((), ())),

@@ -498,7 +498,8 @@ def make_sharded_detect_step(
                 prune_pos_cap,
             )
             raw_sub = M.coarse_scores_gemm_flat_batched_pos(
-                R1, bank.W1_rows.T, plan.p_idx, T1, Kc1
+                R1, bank.W1_rows.T, plan.p_idx, T1, Kc1,
+                use_pallas=use_pallas_refine,
             )
             cand = jax.vmap(
                 lambda raw, pi, pk: M.select_candidates_flat_pos(

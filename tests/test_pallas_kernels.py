@@ -1,5 +1,6 @@
 """Pallas kernels vs their XLA reference twins (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -63,3 +64,67 @@ def test_refine_scores_matches_slices(rng):
     best_raw = raw[np.arange(K), best]
     sim = 100.0 * best_raw / (4.0 * np.maximum(np.asarray(feats0.count[t]), 1))
     np.testing.assert_allclose(sim, np.asarray(ref.similarity), atol=1e-4)
+
+
+def test_gather_cell_patches_matches_xla(rng):
+    """Pallas survivor-patch gather == the XLA gather formulation, at a
+    reference-like geometry (CTT % 512 == 0, arbitrary px residuals)."""
+    from linemod_pose_estimation_tpu.ops import match as M
+
+    T, C, Kc = 8, 8, 5  # CTT = 512
+    B, H, W = 2, 96, 168
+    Hc, Wc = H // T, W // T
+    Rb = jnp.asarray(rng.integers(0, 5, size=(B, C, H, W)).astype(np.uint8))
+    m = 16
+    p_idx = jnp.asarray(
+        rng.integers(0, Hc * Wc, size=(B, m)).astype(np.int32)
+    )
+    # Force edge cells (max py, px and every px % 8 residual) into the set.
+    p_idx = p_idx.at[0, 0].set(Hc * Wc - 1)
+    for r in range(8):
+        p_idx = p_idx.at[1, r].set(2 * Wc + min(r + Wc - 8, Wc - 1))
+
+    L = jax.vmap(lambda R: M.linearize_responses_lanes(R, T, Kc))(Rb)
+    L4 = L.astype(jnp.int8)
+    # On a real TPU, exercise the HARDWARE kernel (interpret mode passed a
+    # dynamic-sublane-roll miscompile that only the chip exhibits).
+    interp = jax.default_backend() == "cpu"
+    got = PK.gather_cell_patches(L4, p_idx, Kc, Wc, interpret=interp)
+
+    Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
+    py, px = p_idx // Wc, p_idx % Wc
+    q = jnp.arange(Kc, dtype=jnp.int32)
+    cell = (
+        (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
+        + (px[..., None, None] + q[None, None, None, :])
+    ).reshape(B, m, Kc * Kc)
+    ref = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell).reshape(B, m, -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_coarse_pos_pallas_equals_xla(rng):
+    """End-to-end: the pruned coarse GEMM with use_pallas=True returns the
+    exact same raw scores as the XLA-gather path."""
+    from linemod_pose_estimation_tpu.ops import match as M
+
+    T, C, Kc = 8, 16, 4  # CTT = 1024
+    B, H, W = 2, 80, 120
+    Hc, Wc = H // T, W // T
+    n, fmax = 24, 32
+    Rb = jnp.asarray(rng.integers(0, 5, size=(B, C, H, W)).astype(np.uint8))
+    offs = rng.integers(0, Kc * T, size=(n, fmax, 2)).astype(np.int32)
+    oris = rng.integers(0, C, size=(n, fmax)).astype(np.int32)
+    live = rng.random((n, fmax)) < 0.9
+    feats = M.LevelFeatures(
+        jnp.asarray(offs), jnp.asarray(oris), jnp.asarray(live),
+        jnp.asarray(live.sum(axis=1).astype(np.int32)),
+        jnp.asarray(np.full((n, 2), Kc * T, np.int32)),
+    )
+    Wg = M.build_gemm_weights(feats, C, T, Kc)
+    p_idx = jnp.asarray(rng.integers(0, Hc * Wc, size=(B, 8)).astype(np.int32))
+    ref = M.coarse_scores_gemm_flat_batched_pos(Rb, Wg, p_idx, T, Kc)
+    got = M.coarse_scores_gemm_flat_batched_pos(
+        Rb, Wg, p_idx, T, Kc, use_pallas=True,
+        interpret=jax.default_backend() == "cpu",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
