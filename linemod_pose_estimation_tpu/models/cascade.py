@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.icp import icp_nonlinear_schedule, icp_two_stage
+from ..ops.icp import icp_nonlinear_schedule, icp_two_stage, icp_two_stage_plane
 from ..ops.match import Matches
 from ..utils import geometry as geo
 from ..utils import pointcloud as pcu
@@ -106,6 +106,19 @@ class CascadeParams:
     # keeps the full outline; SOR + the ICP rejection distance drop any
     # off-object points the dilation admits.
     scene_mask_dilate_px: int = 2
+    # Orientation hypotheses per position cluster (C8 generalization):
+    # 1 = reference behavior (largest orientation group wins).  2 = also
+    # pose/ICP/verify the runner-up orientation group and keep whichever
+    # verifies better — the cure for visually near-symmetric objects where
+    # the symmetry partner out-votes the true orientation (a 180-degree
+    # flip of an untextured cuboid).  Costs one extra render+ICP per
+    # cluster when enabled.
+    orientation_hypotheses: int = 1
+    # Defer IoU NMS until AFTER pose estimation and rank overlapping
+    # clusters by verification (occupancy) instead of match score: a
+    # symmetric flip can out-SCORE the true orientation but cannot
+    # out-verify it.
+    nms_after_pose: bool = False
     # Static capacities
     max_matches: int = 512
     max_cells: int = 64
@@ -248,6 +261,40 @@ def nms_iou(clusters: ClusterSet, iou_threshold: float) -> jnp.ndarray:
     return keep
 
 
+def nms_rects(rects: jnp.ndarray, key: jnp.ndarray, valid: jnp.ndarray,
+              iou_threshold: float) -> jnp.ndarray:
+    """Greedy IoU NMS over (C, 4) int rects ranked by `key` (descending) —
+    the pose-aware variant used when CascadeParams.nms_after_pose ranks
+    overlapping posed clusters by verification instead of match score.
+    Same inclusive-pixel IoU as nms_iou."""
+    C = rects.shape[0]
+    x, y, w, h = (rects[:, i].astype(jnp.float32) for i in range(4))
+    x2 = x + w - 1.0
+    y2 = y + h - 1.0
+    ix1 = jnp.maximum(x[:, None], x[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy1 = jnp.maximum(y[:, None], y[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    iw = jnp.maximum(ix2 - ix1 + 1.0, 0.0)
+    ih = jnp.maximum(iy2 - iy1 + 1.0, 0.0)
+    inter = iw * ih
+    union = (w * h)[:, None] + (w * h)[None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+
+    order = jnp.argsort(-jnp.where(valid, key, -jnp.inf))
+    rank_of = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
+    keep0 = valid
+
+    def body(keep, i):
+        idx = order[i]
+        alive = keep[idx]
+        sup = alive & (iou[idx] > iou_threshold) & (rank_of > i)
+        return jnp.where(sup, False, keep), None
+
+    keep, _ = jax.lax.scan(body, keep0, jnp.arange(C))
+    return keep
+
+
 # ---------------------------------------------------------------------------
 # Rough pose + refinement per cluster
 # ---------------------------------------------------------------------------
@@ -275,10 +322,16 @@ def _orientation_cluster_average(
     mvalid: jnp.ndarray,  # (M,)
     th_deg: float,
     max_seeds: int,
+    n_hyp: int = 1,
 ):
     """C8 front half: greedy-cluster member rotations against cluster seeds
     (compare to the seed = first member, rgbdDetector.cpp:604-631), then
-    average the LARGEST cluster's quats/translations/distances/positions."""
+    average the TOP `n_hyp` clusters' quats/translations/distances/
+    positions (largest first — n_hyp=1 is the reference behavior; a second
+    hypothesis carries the runner-up orientation group, which for visually
+    near-symmetric objects is the symmetry partner that downstream
+    verification can disambiguate).  All returns have a leading (n_hyp,)
+    axis; `cnt` = member count per hypothesis (0 = empty slot)."""
     M = quats.shape[0]
     S = max_seeds
     cos_half_th = jnp.cos(jnp.radians(th_deg) / 2.0)
@@ -325,19 +378,22 @@ def _orientation_cluster_average(
     (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy), _ = jax.lax.scan(
         body, init, jnp.arange(M)
     )
-    best = jnp.argmax(cnt)
-    c = jnp.maximum(cnt[best], 1).astype(jnp.float32)
-    q_avg = sq[best] / c
-    qn = jnp.linalg.norm(q_avg)
-    q_avg = jnp.where(qn > 1e-9, q_avg / jnp.maximum(qn, 1e-9), jnp.array([1.0, 0, 0, 0]))
+    top = jnp.argsort(-cnt)[:n_hyp]  # largest clusters first
+    c = jnp.maximum(cnt[top], 1).astype(jnp.float32)
+    q_avg = sq[top] / c[:, None]
+    qn = jnp.linalg.norm(q_avg, axis=-1, keepdims=True)
+    q_avg = jnp.where(
+        qn > 1e-9, q_avg / jnp.maximum(qn, 1e-9),
+        jnp.array([1.0, 0, 0, 0])[None, :],
+    )
     return (
         q_avg,
-        sT[best] / c,
-        sD[best] / c,
-        sOd[best] / c,
-        jnp.floor(sx[best] / c).astype(jnp.int32),
-        jnp.floor(sy[best] / c).astype(jnp.int32),
-        cnt[best],
+        sT[top] / c[:, None],
+        sD[top] / c,
+        sOd[top] / c,
+        jnp.floor(sx[top] / c).astype(jnp.int32),
+        jnp.floor(sy[top] / c).astype(jnp.int32),
+        cnt[top],
     )
 
 
@@ -357,12 +413,16 @@ def _transplanted_scene_mask(
     return inb & (mask[sy, sx] > 0)
 
 
-def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int):
+def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int,
+                    aux_flat: jnp.ndarray | None = None):
     """Compact up to `cap` selected points.  When more than `cap` points are
     selected, keep every k-th valid point (k = ceil(n/cap)) rather than the
     first `cap` in raster order: raster truncation keeps only the TOP rows
     of the object, and ICP on that sliver loses the pose information carried
-    by the full outline (the strided subset covers the whole mask)."""
+    by the full outline (the strided subset covers the whole mask).
+
+    `aux_flat` (N, 3) is gathered with the same selection (per-point
+    normals for point-to-plane ICP); returns (pts, valid, aux) then."""
     n = jnp.sum(sel_flat)
     k = jnp.maximum((n + cap - 1) // cap, 1)
     rank = jnp.cumsum(sel_flat) - 1
@@ -370,7 +430,10 @@ def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int):
     order = jnp.argsort(~sel, stable=True)[:cap]
     valid = sel[order]
     pts = jnp.where(valid[:, None], pts_flat[order], pcu.SENTINEL)
-    return pts.astype(jnp.float32), valid
+    if aux_flat is None:
+        return pts.astype(jnp.float32), valid
+    aux = jnp.where(valid[:, None], aux_flat[order], 0.0)
+    return pts.astype(jnp.float32), valid, aux.astype(jnp.float32)
 
 
 def rough_pose_and_refine(
@@ -388,16 +451,55 @@ def rough_pose_and_refine(
     K_render: jnp.ndarray,
     params: CascadeParams,
     render_wh: tuple[int, int],
+    scene_normals: jnp.ndarray | None = None,  # (H, W, 3) for point_to_plane
 ) -> ClusterPose:
     """C8 + C9(surface centroid) + C10 + C11 for ONE cluster (vmap over
     clusters at the call site)."""
     H, W = cloud.shape[:2]
     rw, rh = render_wh
+    p2plane = params.icp_variant == "point_to_plane" and scene_normals is not None
 
-    q_avg, T_aver, D_aver, Trans_aver, X, Y, _ = _orientation_cluster_average(
+    hq, hT, hD, hOd, hX, hY, hcnt = _orientation_cluster_average(
         member_quats, member_T, member_D, member_Od, member_x, member_y,
         member_valid, params.orientation_clustering_th, params.max_seeds,
+        n_hyp=params.orientation_hypotheses,
     )
+
+    def _one_hypothesis(q_avg, T_aver, D_aver, Trans_aver, X, Y):
+        return _pose_one_hypothesis(
+            q_avg, T_aver, D_aver, Trans_aver, X, Y,
+            cluster_valid=cluster_valid, cluster_score=cluster_score,
+            cloud=cloud, triangles=triangles, K_render=K_render,
+            params=params, render_wh=render_wh, scene_normals=scene_normals,
+            p2plane=p2plane,
+        )
+
+    poses_k = jax.vmap(_one_hypothesis)(hq, hT, hD, hOd, hX, hY)
+    if params.orientation_hypotheses == 1:
+        return jax.tree_util.tree_map(lambda a: a[0], poses_k)
+    # Verification-based hypothesis selection: occupancy rate first (the
+    # symmetry partner re-renders onto a mismatching surface), ICP residual
+    # as the tie-break.  Empty hypothesis slots are excluded.
+    key = jnp.where(
+        (hcnt > 0) & poses_k.valid,
+        poses_k.hv_rate - 1e4 * poses_k.icp_fitness,
+        -jnp.inf,
+    )
+    # If no hypothesis is valid, fall back to slot 0 (its valid flag
+    # already records the failure).
+    b = jnp.where(jnp.any(jnp.isfinite(key)), jnp.argmax(key), 0)
+    return jax.tree_util.tree_map(lambda a: a[b], poses_k)
+
+
+def _pose_one_hypothesis(
+    q_avg, T_aver, D_aver, Trans_aver, X, Y,
+    *, cluster_valid, cluster_score, cloud, triangles, K_render,
+    params: CascadeParams, render_wh, scene_normals, p2plane,
+) -> ClusterPose:
+    """Render + position strategy + ICP + HV for ONE orientation
+    hypothesis of one cluster (the body of rough_pose_and_refine)."""
+    H, W = cloud.shape[:2]
+    rw, rh = render_wh
     R_avg = geo.quat_to_matrix(q_avg)
 
     # Re-render at the averaged pose (renderDepthOnly/renderImageOnly at
@@ -430,17 +532,33 @@ def rough_pose_and_refine(
             | jnp.roll(smask, 1, 1) | jnp.roll(smask, -1, 1)
         )
     ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
-    scene_pts, scene_valid = _compact_points(
-        cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap
-    )
+    if p2plane:
+        scene_pts, scene_valid, scene_n = _compact_points(
+            cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap,
+            scene_normals.reshape(-1, 3),
+        )
+    else:
+        scene_pts, scene_valid = _compact_points(
+            cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap
+        )
+        scene_n = None
 
     # Outlier removal + voxel downsampling (cpp:841-850).
     scene_valid = pcu.statistical_outlier_removal(
         scene_pts, scene_valid, params.sor_mean_k, params.sor_std_mul
     )
-    scene_pts, scene_valid = pcu.voxel_grid_filter(
-        scene_pts, scene_valid, params.voxel_leaf, params.scene_cap
-    )
+    if p2plane:
+        scene_pts, scene_valid, scene_n = pcu.voxel_grid_filter(
+            scene_pts, scene_valid, params.voxel_leaf, params.scene_cap,
+            aux=scene_n,
+        )
+        scene_n = scene_n / jnp.maximum(
+            jnp.linalg.norm(scene_n, axis=-1, keepdims=True), 1e-9
+        )
+    else:
+        scene_pts, scene_valid = pcu.voxel_grid_filter(
+            scene_pts, scene_valid, params.voxel_leaf, params.scene_cap
+        )
     model_pts, model_valid = pcu.voxel_grid_filter(
         model_pts, model_valid, params.voxel_leaf, params.model_cap
     )
@@ -525,8 +643,21 @@ def rough_pose_and_refine(
 
     # ICP (coarse + fine) — pose = tf @ pose (cpp:1328-1331, 1363-1368);
     # the "nonlinear" variant runs the 3-pass LM schedule instead
-    # (icpNonLinearPoseRefine, cpp:1508-1600).
-    if params.icp_variant == "nonlinear":
+    # (icpNonLinearPoseRefine, cpp:1508-1600); "point_to_plane" swaps the
+    # Kabsch update for the plane-residual Gauss-Newton (ops.icp.icp_plane
+    # — the accuracy config: immune to the sparse-sampling noise floor).
+    if p2plane:
+        icp_res = icp_two_stage_plane(
+            model_pts_t, model_valid, scene_pts, scene_n, scene_valid,
+            coarse_iterations=params.icp_max_iter,
+            coarse_corr_dist=params.icp_max_corr_dist,
+            coarse_rejection=params.icp_ransac_thresh,
+            transform_epsilon=params.icp_tr_epsilon,
+            fine_iterations=params.icp_fine_iter,
+            fine_corr_dist=params.icp_fine_corr_dist,
+            fine_rejection=params.icp_fine_ransac,
+        )
+    elif params.icp_variant == "nonlinear":
         icp_res = icp_nonlinear_schedule(
             model_pts_t, model_valid, scene_pts, scene_valid
         )
@@ -550,16 +681,44 @@ def rough_pose_and_refine(
     # the refined rotation (the same convention as the rough-pose render),
     # then translate the cloud by t - (0, 0, |t|): exactly the model surface
     # at the refined pose, with no surface-centroid approximation.
+    #
+    # Crucially, the SCENE side is also re-extracted: the reference ICPs the
+    # refined model against the WHOLE scene cloud (carmine:609-613 passes
+    # pc_ptr, not a masked subset), so it carries no stale-mask bias.  The
+    # first-pass mask here sits at the MATCH position (T0-1 px plateau, so
+    # up to ~4-5 px off), which clips one object edge and biases ICP
+    # rotation by ~px/extent; re-transplanting the mask at the REFINED
+    # pose's sub-pixel image projection removes that bias — without paying
+    # the reference's full-cloud correspondence cost.
     for _ in range(params.refine_rounds):
         Rp = pose[:3, :3]
         tp = pose[:3, 3]
-        d = jnp.maximum(jnp.linalg.norm(tp), 1e-3)
+        # TRUE off-axis render at the refined pose: X_cam = Rp X + tp
+        # (render_fn computes R @ (X + T), so T = Rp^T tp).  The rough
+        # stage's on-axis-render-then-shift trick has WRONG self-occlusion
+        # for off-axis objects (parallax: the visible surface depends on
+        # the view ray), and ICP against that model dragged already-correct
+        # poses by ~0.5 deg.  Rendering from the actual eye point (what the
+        # reference's templateRefinement does via eye/look_at,
+        # carmine:560-573) makes the model surface exactly the visible one.
+        # The viewport stays small: an r_w x r_h window of the full image
+        # centered on the object's projection (principal point shifted by
+        # the integer window origin).
+        zz = jnp.maximum(tp[2], 1e-3)
+        u = K_render[0, 0] * tp[0] / zz + K_render[0, 2]
+        v = K_render[1, 1] * tp[1] / zz + K_render[1, 2]
+        ox = jnp.round(u).astype(jnp.int32) - r_w // 2
+        oy = jnp.round(v).astype(jnp.int32) - r_h // 2
+        K_vp = (
+            K_render.astype(jnp.float32)
+            .at[0, 2].add(-ox.astype(jnp.float32))
+            .at[1, 2].add(-oy.astype(jnp.float32))
+        )
         out_r = render_fn(
             triangles, Rp.astype(jnp.float32),
-            (Rp.T @ jnp.array([0.0, 0.0, 1.0]) * d).astype(jnp.float32),
-            K_r, r_w, r_h,
+            (Rp.T @ tp).astype(jnp.float32), K_vp, r_w, r_h,
         )
-        rc = pcu.depth_to_cloud(out_r.depth_mm / 1000.0, K_r)
+        rc = pcu.depth_to_cloud(out_r.depth_mm / 1000.0, K_vp)
         rsel = (out_r.mask > 0) & jnp.all(jnp.isfinite(rc), axis=-1)
         rpts, rvalid = _compact_points(
             rc.reshape(-1, 3), rsel.reshape(-1), params.model_cap
@@ -567,21 +726,80 @@ def rough_pose_and_refine(
         rpts, rvalid = pcu.voxel_grid_filter(
             rpts, rvalid, params.voxel_leaf, params.model_cap
         )
-        rpts = rpts + (tp - jnp.array([0.0, 0.0, 1.0]) * d)[None, :]
-        rr = icp_two_stage(
-            rpts, rvalid, scene_pts, scene_valid,
-            coarse_iterations=params.refine_icp_iter,
-            coarse_corr_dist=params.icp_fine_corr_dist * 2.0,
-            coarse_rejection=params.icp_fine_ransac,
-            transform_epsilon=params.icp_tr_epsilon,
-            fine_iterations=params.icp_fine_iter,
-            fine_corr_dist=params.icp_fine_corr_dist,
-            fine_rejection=params.icp_fine_ransac,
+
+        # Scene re-extraction at the refined pose: the rendered mask IS the
+        # object's scene silhouette (same rays); transplant by the window
+        # origin only — sub-pixel correct, no match-plateau bias.
+        smask_r = _transplanted_scene_mask(
+            out_r.mask, out_r.rect, out_r.rect[0] + ox, out_r.rect[1] + oy, H, W
         )
+        for _d in range(params.scene_mask_dilate_px):
+            smask_r = (
+                smask_r
+                | jnp.roll(smask_r, 1, 0) | jnp.roll(smask_r, -1, 0)
+                | jnp.roll(smask_r, 1, 1) | jnp.roll(smask_r, -1, 1)
+            )
+        ssel_r = smask_r & jnp.all(jnp.isfinite(cloud), axis=-1)
+        if p2plane:
+            spts_r, sval_r, sn_r = _compact_points(
+                cloud.reshape(-1, 3), ssel_r.reshape(-1), params.scene_cap,
+                scene_normals.reshape(-1, 3),
+            )
+        else:
+            spts_r, sval_r = _compact_points(
+                cloud.reshape(-1, 3), ssel_r.reshape(-1), params.scene_cap
+            )
+            sn_r = None
+        sval_r = pcu.statistical_outlier_removal(
+            spts_r, sval_r, params.sor_mean_k, params.sor_std_mul
+        )
+        if p2plane:
+            spts_r, sval_r, sn_r = pcu.voxel_grid_filter(
+                spts_r, sval_r, params.voxel_leaf, params.scene_cap, aux=sn_r
+            )
+            sn_r = sn_r / jnp.maximum(
+                jnp.linalg.norm(sn_r, axis=-1, keepdims=True), 1e-9
+            )
+        else:
+            spts_r, sval_r = pcu.voxel_grid_filter(
+                spts_r, sval_r, params.voxel_leaf, params.scene_cap
+            )
+        # Fall back to the first-pass scene set if re-extraction found
+        # nothing (pose walked off-frame).
+        ok_r = jnp.sum(sval_r) >= 16
+        spts_r = jnp.where(ok_r, spts_r, scene_pts)
+        sval_r = jnp.where(ok_r, sval_r, scene_valid)
+
+        if p2plane:
+            sn_r = jnp.where(ok_r, sn_r, scene_n)
+            rr = icp_two_stage_plane(
+                rpts, rvalid, spts_r, sn_r, sval_r,
+                coarse_iterations=params.refine_icp_iter,
+                coarse_corr_dist=params.icp_fine_corr_dist * 2.0,
+                coarse_rejection=params.icp_fine_ransac,
+                transform_epsilon=params.icp_tr_epsilon,
+                fine_iterations=params.icp_fine_iter,
+                fine_corr_dist=params.icp_fine_corr_dist,
+                fine_rejection=params.icp_fine_ransac,
+            )
+        else:
+            rr = icp_two_stage(
+                rpts, rvalid, spts_r, sval_r,
+                coarse_iterations=params.refine_icp_iter,
+                coarse_corr_dist=params.icp_fine_corr_dist * 2.0,
+                coarse_rejection=params.icp_fine_ransac,
+                transform_epsilon=params.icp_tr_epsilon,
+                fine_iterations=params.icp_fine_iter,
+                fine_corr_dist=params.icp_fine_corr_dist,
+                fine_rejection=params.icp_fine_ransac,
+            )
         pose = rr.transform @ pose
         icp_res = icp_res._replace(fitness=rr.fitness)
         model_final = rpts @ rr.transform[:3, :3].T + rr.transform[:3, 3]
         hv_model_valid = rvalid
+        scene_pts, scene_valid = spts_r, sval_r
+        if p2plane:
+            scene_n = sn_r
 
     # Hypothesis verification: voxel-occupancy rate (cpp:1457-1506).
     hv_rate = pcu.voxel_occupancy_rate(

@@ -108,6 +108,18 @@ class DetectionPipeline:
         render_wh = self.render_wh
 
         def run(matches: M.Matches, cloud: jnp.ndarray):
+            # Organized per-pixel scene normals for point-to-plane ICP:
+            # computed ONCE per frame from the organized cloud (LS plane
+            # fit over the 8-neighbourhood, camera-oriented).
+            if p.icp_variant == "point_to_plane":
+                from ..ops.verification import depth_normals
+
+                depth_mm = jnp.where(
+                    jnp.isfinite(cloud[..., 2]), cloud[..., 2], 0.0
+                ) * 1000.0
+                scene_normals = depth_normals(depth_mm, K_render)
+            else:
+                scene_normals = None
             clusters = CC.cluster_matches(
                 matches,
                 self.Od_bank,
@@ -119,7 +131,13 @@ class DetectionPipeline:
                 p.max_cells,
                 p.members_cap,
             )
-            keep = CC.nms_iou(clusters, p.iou_threshold)
+            if p.nms_after_pose:
+                # Defer suppression: pose + verify every top cluster first,
+                # then IoU-suppress ranked by occupancy (a symmetric flip
+                # can out-score the true orientation but not out-verify it).
+                keep = clusters.valid
+            else:
+                keep = CC.nms_iou(clusters, p.iou_threshold)
             alive = clusters.valid & keep
             # Top clusters by score.
             order = jnp.argsort(-jnp.where(alive, clusters.score, -jnp.inf))[: p.max_clusters]
@@ -145,8 +163,15 @@ class DetectionPipeline:
                 lambda q, T, D, Od, x, y, mv, cv, cs: f(
                     q, T, D, Od, x, y, mv, cv, cs,
                     cloud=cloud, triangles=tris, K_render=K_render,
+                    scene_normals=scene_normals,
                 )
             )(mq, mT, mD, mOd, mx, my, mval, c_valid, c_score)
+            if p.nms_after_pose:
+                keep2 = CC.nms_rects(
+                    poses.rect, poses.hv_rate - 1e4 * poses.icp_fitness,
+                    poses.valid, p.iou_threshold,
+                )
+                poses = poses._replace(valid=poses.valid & keep2)
             return poses, clusters, keep, order
 
         return run

@@ -134,6 +134,115 @@ def icp_schedule(
     return ICPResult(T_acc, fit, ninl, iters, conv)
 
 
+def _p2plane_delta(cur: jnp.ndarray, tgt: jnp.ndarray, n_tgt: jnp.ndarray,
+                   w: jnp.ndarray) -> jnp.ndarray:
+    """One Gauss-Newton step on the point-to-PLANE objective
+    sum_i w_i (n_i . (cur_i - tgt_i))^2, linearized about identity with a
+    twist (omega, t): residual Jacobian rows are [cur_i x n_i, n_i].
+
+    Point-to-plane is the cure for the point-to-point noise floor on this
+    workload: capped/voxelized model and scene clouds sample the SAME
+    surface at different pixel/voxel phases, so sample-to-sample Kabsch
+    carries a mm-scale alignment noise that costs ~1-2 deg on a 10 cm
+    object, while distance-to-local-plane is invariant to where on the
+    face the samples sit (and converges in a fraction of the iterations on
+    flat geometry — PCL's WithNormals transform estimator is the same
+    idea)."""
+    r = jnp.sum(n_tgt * (cur - tgt), axis=1)  # (N,)
+    Jr = jnp.concatenate([jnp.cross(cur, n_tgt), n_tgt], axis=1)  # (N, 6)
+    Jw = Jr * w[:, None]
+    JtJ = jnp.einsum("ni,nj->ij", Jw, Jr)
+    Jtr = Jw.T @ r
+    A = JtJ + 1e-9 * jnp.eye(6)
+    delta = -jnp.linalg.solve(A, Jtr)
+    omega, t = delta[:3], delta[3:]
+    th = jnp.linalg.norm(omega) + 1e-12
+    k = omega / th
+    K = jnp.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]])
+    R = jnp.eye(3) + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def icp_plane(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_normals: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    max_iterations: int = 50,
+    max_corr_dist: float = 0.05,
+    rejection_dist: float = 0.02,
+    transform_epsilon: float = 1e-5,
+) -> ICPResult:
+    """Point-to-plane ICP (scene normals per scene point, camera-oriented).
+
+    Same correspondence gating and convergence contract as `icp`; the
+    update is the Gauss-Newton point-to-plane solve instead of Kabsch.
+    Fitness stays the point-to-POINT mean squared inlier distance so it is
+    comparable across variants."""
+    corr2 = max_corr_dist * max_corr_dist
+    rej2 = rejection_dist * rejection_dist
+    scene_safe = jnp.where(scene_valid[:, None], scene_pts, 1e6)
+
+    def cond(state):
+        T, it, done, _, _ = state
+        return (it < max_iterations) & (~done)
+
+    def body(state):
+        T, it, _, _, _ = state
+        cur = model_pts @ T[:3, :3].T + T[:3, 3]
+        d2 = pairwise_sq_dists(cur, scene_safe)
+        nn = jnp.argmin(d2, axis=1)
+        nd2 = jnp.min(d2, axis=1)
+        w = (model_valid & (nd2 < jnp.minimum(corr2, rej2 * 4))).astype(jnp.float32)
+        tgt = scene_safe[nn]
+        n_tgt = scene_normals[nn]
+        delta = _p2plane_delta(cur, tgt, n_tgt, w)
+        Tn = delta @ T
+        dr = jnp.sum((delta[:3, :3] - jnp.eye(3)) ** 2)
+        dt = jnp.sum(delta[:3, 3] ** 2)
+        done = (dr + dt) < transform_epsilon
+        fit = jnp.sum(nd2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return (Tn, it + 1, done, fit, jnp.sum(w))
+
+    state = (jnp.eye(4), jnp.int32(0), jnp.array(False), jnp.array(jnp.inf),
+             jnp.array(0.0))
+    T, it, done, fit, ninl = jax.lax.while_loop(cond, body, state)
+    return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
+
+
+def icp_two_stage_plane(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_normals: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    coarse_iterations: int = 150,
+    coarse_corr_dist: float = 0.05,
+    coarse_rejection: float = 0.02,
+    transform_epsilon: float = 1e-5,
+    fine_iterations: int = 20,
+    fine_corr_dist: float = 0.01,
+    fine_rejection: float = 0.01,
+) -> ICPResult:
+    """icp_two_stage with the point-to-plane update (same schedule)."""
+    r1 = icp_plane(
+        model_pts, model_valid, scene_pts, scene_normals, scene_valid,
+        max_iterations=coarse_iterations, max_corr_dist=coarse_corr_dist,
+        rejection_dist=coarse_rejection, transform_epsilon=transform_epsilon,
+    )
+    moved = model_pts @ r1.transform[:3, :3].T + r1.transform[:3, 3]
+    r2 = icp_plane(
+        moved, model_valid, scene_pts, scene_normals, scene_valid,
+        max_iterations=fine_iterations, max_corr_dist=fine_corr_dist,
+        rejection_dist=fine_rejection, transform_epsilon=transform_epsilon,
+    )
+    T = r2.transform @ r1.transform
+    return ICPResult(T, r2.fitness, r2.num_inliers,
+                     r1.iterations + r2.iterations, r1.converged | r2.converged)
+
+
 def _lm_step(cur: jnp.ndarray, tgt: jnp.ndarray, w: jnp.ndarray, lam: jnp.ndarray):
     """One Levenberg-Marquardt solve on the point-to-point objective,
     linearized about the identity with a twist (omega, t):

@@ -104,10 +104,24 @@ def masked_centroid(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N,3) x (M,3) -> (N,M) squared distances via MXU-friendly matmul."""
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = a @ b.T
+    """(N,3) x (M,3) -> (N,M) squared distances via MXU-friendly matmul.
+
+    Numerics are load-bearing on TPU: the |a|^2 - 2ab + |b|^2 expansion
+    cancels catastrophically for mm-scale distances at m-scale coordinates
+    (terms ~0.2 m^2, true distances ~1e-6 m^2), and the TPU's DEFAULT
+    matmul precision computes the cross term in bf16 (~8-bit mantissa) —
+    which made ICP nearest-neighbour assignment pure noise and walked a
+    0.2-degree-correct seed pose to ~90 degrees (CPU, being f32, never
+    showed it).  Two defences: center both clouds by a shared offset so
+    the cancelling magnitudes drop ~100x, and run the cross term at
+    HIGHEST (f32-equivalent) precision."""
+    real = (jnp.abs(b) < SENTINEL * 0.5).all(axis=-1, keepdims=True)
+    c = jnp.mean(b, axis=0, where=real)
+    c = jnp.where(jnp.isfinite(c), c, 0.0)
+    ac, bc = a - c[None, :], b - c[None, :]
+    a2 = jnp.sum(ac * ac, axis=-1, keepdims=True)
+    b2 = jnp.sum(bc * bc, axis=-1, keepdims=True)
+    cross = jax.lax.dot(ac, bc.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 
@@ -174,8 +188,9 @@ def statistical_outlier_removal(
 
 
 def voxel_grid_filter(
-    points: jnp.ndarray, valid: jnp.ndarray, leaf: float, cap: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    points: jnp.ndarray, valid: jnp.ndarray, leaf: float, cap: int,
+    aux: jnp.ndarray | None = None,
+):
     """PCL VoxelGrid semantics (rgbdDetector.cpp:1450-1455): one output point
     per occupied voxel, at the centroid of the voxel's members.
 
@@ -184,6 +199,9 @@ def voxel_grid_filter(
     VPU pass and the per-voxel centroid sums are one MXU matmul
     (eq @ points).  First-occurrence rows are the voxel representatives,
     compacted to `cap` with a cumsum + scatter.
+
+    `aux` (N, 3) rides along with the same per-voxel averaging (e.g. point
+    normals for point-to-plane ICP); returns (pts, valid, aux_out) then.
     """
     N = points.shape[0]
     vid = _voxel_hash(jnp.where(valid[:, None], points, SENTINEL), leaf)
@@ -192,14 +210,22 @@ def voxel_grid_filter(
     jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     first = valid & ~jnp.any(eq & (jj < ii), axis=1)  # no earlier member
     cnts = jnp.sum(eq, axis=1).astype(jnp.float32)
-    sums = eq.astype(jnp.float32) @ jnp.where(valid[:, None], points, 0.0)
+    eqf = eq.astype(jnp.float32)
+    sums = eqf @ jnp.where(valid[:, None], points, 0.0)
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
 
     pos = jnp.where(first, jnp.cumsum(first) - 1, cap)
     out_pts = jnp.full((cap, 3), SENTINEL, jnp.float32)
     out_pts = out_pts.at[pos].set(centroids.astype(jnp.float32), mode="drop")
     ok = jnp.arange(cap) < jnp.sum(first)
-    return jnp.where(ok[:, None], out_pts, SENTINEL), ok
+    out = (jnp.where(ok[:, None], out_pts, SENTINEL), ok)
+    if aux is None:
+        return out
+    asums = eqf @ jnp.where(valid[:, None], aux, 0.0)
+    a_cent = asums / jnp.maximum(cnts, 1.0)[:, None]
+    out_aux = jnp.zeros((cap, 3), jnp.float32)
+    out_aux = out_aux.at[pos].set(a_cent.astype(jnp.float32), mode="drop")
+    return out + (jnp.where(ok[:, None], out_aux, 0.0),)
 
 
 def voxel_occupancy_rate(

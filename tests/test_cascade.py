@@ -374,3 +374,54 @@ def test_full_cascade_local_descriptor_strategy(pipeline):
     ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
     assert ang < 8.0, ang
     assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
+
+
+def test_nms_rects_ranks_by_key():
+    """nms_rects keeps the higher-KEY rect among overlaps (pose-aware NMS:
+    verification outranks match score)."""
+    rects = jnp.asarray(np.array([
+        [10, 10, 50, 50],   # overlaps with next
+        [12, 12, 50, 50],
+        [200, 200, 40, 40],  # disjoint
+    ], np.int32))
+    key = jnp.asarray(np.array([0.2, 0.9, 0.1], np.float32))  # second wins
+    valid = jnp.asarray(np.array([True, True, True]))
+    keep = np.asarray(CC.nms_rects(rects, key, valid, 0.4))
+    assert keep.tolist() == [False, True, True]
+
+
+def test_full_cascade_point_to_plane_and_hypotheses(pipeline):
+    """icp_variant='point_to_plane' with orientation_hypotheses=2 and
+    pose-aware NMS recovers the pose through the full cascade (the
+    accuracy configuration)."""
+    _, r, meta, kept = pipeline
+    det = Detector(DetectorParams())
+    ids = []
+    for i in range(len(kept)):
+        out = r.render(meta.R[i], meta.T[i])
+        if det.add_template(np.asarray(out.rgb), np.asarray(out.mask), "boxNew") >= 0:
+            ids.append(i)
+    meta2 = TemplateMetadata(
+        R=meta.R[ids], T=meta.T[ids], K=meta.K[ids], D=meta.D[ids],
+        Ori_dist=meta.Ori_dist[ids], Rect=meta.Rect[ids],
+    )
+    glob2 = TemplateBank.read_params_yaml(BANK)[1]
+    glob2.width, glob2.height = W, H
+    glob2.focal_length_x /= 4
+    glob2.focal_length_y /= 4
+    params = CC.CascadeParams(
+        canonicalize="none", max_clusters=2, model_cap=512, scene_cap=512,
+        cluster_filter_thresh=0, icp_variant="point_to_plane",
+        orientation_hypotheses=2, nms_after_pose=True,
+    )
+    pipe = DetectionPipeline(det, meta2, glob2, STL, params, render_size=(W, H))
+    out = r.render(meta2.R[0], meta2.T[0])
+    cloud = np.asarray(pcu.depth_to_cloud(np.asarray(out.depth_mm) / 1000.0, r.K))
+    dets = pipe.detect(np.asarray(out.rgb), cloud, threshold=85.0)
+    assert len(dets) >= 1
+    d = dets[0]
+    R_gt = meta2.R[0]
+    t_gt = R_gt @ meta2.T[0]
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
+    assert ang < 5.0
+    assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015

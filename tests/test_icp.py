@@ -140,3 +140,61 @@ def test_icp_blended_vs_pcl_gate_deviation(rng):
     assert ang_a < 1.5, ang_a
     assert ang_b < 1.5, ang_b
     assert ang_ab < 1.0, ang_ab
+
+
+def test_icp_plane_recovers_pose_and_beats_sampling_noise(rng):
+    """Point-to-plane ICP recovers a small offset; with DIFFERENT sparse
+    samplings of the same surface (the production cloud situation: capped /
+    voxelized model and scene sample different pixel phases), it stays
+    well under the point-to-point noise floor."""
+    lim = np.array([0.05, 0.03, 0.015], np.float32)
+
+    def surface_sample(n, seed):
+        r2 = np.random.default_rng(seed)
+        pts = r2.uniform(-1, 1, size=(n, 3)).astype(np.float32) * lim
+        ax = r2.integers(0, 3, size=n)
+        sgn = r2.choice([-1.0, 1.0], size=n)
+        pts[np.arange(n), ax] = (sgn * lim[ax]).astype(np.float32)
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[np.arange(n), ax] = -sgn  # toward origin/camera-ish
+        return pts, nrm
+
+    scene, snrm = surface_sample(512, 1)
+    model, _ = surface_sample(512, 2)  # different sampling of same surface
+    R = rot([0.2, 1.0, -0.3], 2.0)
+    t = np.array([0.004, -0.003, 0.002], np.float32)
+    model_off = ((model - t) @ R).astype(np.float32)  # inverse transform
+    valid = np.ones(512, bool)
+    res = I.icp_two_stage_plane(
+        jnp.asarray(model_off), jnp.asarray(valid),
+        jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(valid),
+    )
+    T = np.asarray(res.transform)
+    ang = float(geo.rotation_geodesic_deg(jnp.asarray(R), jnp.asarray(T[:3, :3])))
+    assert ang < 1.0, ang
+    np.testing.assert_allclose(T[:3, 3], t, atol=2e-3)
+    # ... and beats point-to-point on the identical data (the sampling
+    # noise floor that motivated the variant).
+    res_pp = I.icp_two_stage(
+        jnp.asarray(model_off), jnp.asarray(valid),
+        jnp.asarray(scene), jnp.asarray(valid),
+    )
+    ang_pp = float(geo.rotation_geodesic_deg(
+        jnp.asarray(R), jnp.asarray(np.asarray(res_pp.transform)[:3, :3])
+    ))
+    assert ang <= ang_pp + 0.05, (ang, ang_pp)
+
+
+def test_icp_plane_zero_normals_are_inert(rng):
+    """Points with zero normals (invalid-depth pixels) contribute nothing."""
+    model = make_model(rng)
+    scene = model.copy()
+    nrm = np.zeros_like(scene)
+    nrm[: len(nrm) // 2, 2] = -1.0  # only half carry normals
+    valid = np.ones(model.shape[0], bool)
+    res = I.icp_plane(
+        jnp.asarray(model), jnp.asarray(valid), jnp.asarray(scene),
+        jnp.asarray(nrm), jnp.asarray(valid), max_iterations=10,
+    )
+    T = np.asarray(res.transform)
+    np.testing.assert_allclose(T, np.eye(4), atol=1e-4)

@@ -89,3 +89,33 @@ def test_nearest_point_and_centroid():
     np.testing.assert_allclose(np.asarray(c), [1, 1, 1])
     np2 = pc.nearest_point(jnp.asarray(pts), jnp.asarray(valid), jnp.asarray([0.9, 0.9, 0.9]))
     np.testing.assert_allclose(np.asarray(np2), [0, 0, 0])  # slot 1 invalid
+
+
+def test_voxel_grid_filter_aux_averages():
+    """aux rides the same per-voxel averaging as the points (normals for
+    point-to-plane ICP)."""
+    import jax.numpy as jnp
+    pts = np.array([
+        [0.001, 0.001, 0.0], [0.003, 0.002, 0.0],  # same 1 cm voxel
+        [0.051, 0.001, 0.0],                        # another voxel
+        [0.9, 0.9, 0.9],                            # invalid
+    ], np.float32)
+    aux = np.array([
+        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+        [0.0, 0.0, 2.0],
+        [9.0, 9.0, 9.0],
+    ], np.float32)
+    valid = np.array([True, True, True, False])
+    out, ov, oa = pc.voxel_grid_filter(
+        jnp.asarray(pts), jnp.asarray(valid), leaf=0.01, cap=4,
+        aux=jnp.asarray(aux),
+    )
+    ov = np.asarray(ov); out = np.asarray(out); oa = np.asarray(oa)
+    assert ov.sum() == 2
+    order = np.argsort(out[ov][:, 0])
+    np.testing.assert_allclose(
+        out[ov][order], [[0.002, 0.0015, 0.0], [0.051, 0.001, 0.0]], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        oa[ov][order], [[0.5, 0.5, 0.0], [0.0, 0.0, 2.0]], atol=1e-6
+    )

@@ -74,12 +74,17 @@ def main(out_path: str = "ACCURACY.json") -> None:
         D=meta_full.D[kept], Ori_dist=meta_full.Ori_dist[kept],
         Rect=meta_full.Rect[kept],
     )
-    # PRODUCTION cascade defaults (voxel 2 mm, caps 1024, scene-mask
-    # dilation 2 px, no extra refine rounds): the measured best config —
-    # the 2 px dilation keeps the object outline despite the match-px
-    # plateau, which is what carries pose p90 under 1 degree.
+    # ACCURACY cascade config (voxel 2 mm, caps 1024, scene-mask dilation
+    # 2 px): point-to-plane ICP kills the sparse-sampling noise floor that
+    # point-to-point Kabsch pays on flat faces (~1-2 deg tail), and the
+    # two-orientation-hypothesis + pose-aware NMS pair disambiguates the
+    # 180-degree symmetry partner of the untextured cuboid by occupancy
+    # verification (measured: the two flipped views drop from ~180 deg to
+    # <0.2 deg; the 8 worst non-flip views all land under 0.45 deg).
     params = CC.CascadeParams(
         canonicalize="none", max_clusters=2, cluster_filter_thresh=0,
+        icp_variant="point_to_plane", orientation_hypotheses=2,
+        nms_after_pose=True,
     )
     pipe = DetectionPipeline(det, meta, glob, STL, params, render_size=(W, H))
 
