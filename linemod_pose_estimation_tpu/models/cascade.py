@@ -310,6 +310,9 @@ class ClusterPose(NamedTuple):
     rough_pose: jnp.ndarray  # (4, 4) pre-ICP pose (C8/C9 output) — the
     #   reference shows this stage in its PCL viewers (rgbdDetector.cpp:
     #   1299-1312); kept for per-stage observability (C23)
+    hyp_sim: jnp.ndarray  # mean member match similarity of the SELECTED
+    #   orientation hypothesis — the sharpest flip-disambiguation signal
+    #   (the true orientation's templates out-match the symmetry partner)
 
 
 def _orientation_cluster_average(
@@ -319,6 +322,7 @@ def _orientation_cluster_average(
     Ods: jnp.ndarray,  # (M,)
     xs: jnp.ndarray,  # (M,)
     ys: jnp.ndarray,  # (M,)
+    sims: jnp.ndarray,  # (M,) member match similarity (percent)
     mvalid: jnp.ndarray,  # (M,)
     th_deg: float,
     max_seeds: int,
@@ -337,7 +341,7 @@ def _orientation_cluster_average(
     cos_half_th = jnp.cos(jnp.radians(th_deg) / 2.0)
 
     def body(state, j):
-        (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy) = state
+        (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy, ssim) = state
         q = quats[j]
         dot = jnp.abs(jnp.sum(seed_q * q[None, :], axis=1))
         within = seed_on & (dot > cos_half_th)
@@ -362,7 +366,8 @@ def _orientation_cluster_average(
         sOd = sOd + onehot * Ods[j]
         sx = sx + onehot * xs[j]
         sy = sy + onehot * ys[j]
-        return (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy), None
+        ssim = ssim + onehot * sims[j]
+        return (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy, ssim), None
 
     init = (
         jnp.zeros((S, 4)),
@@ -374,8 +379,9 @@ def _orientation_cluster_average(
         jnp.zeros((S,)),
         jnp.zeros((S,)),
         jnp.zeros((S,)),
+        jnp.zeros((S,)),
     )
-    (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy), _ = jax.lax.scan(
+    (seed_q, seed_on, cnt, sq, sT, sD, sOd, sx, sy, ssim), _ = jax.lax.scan(
         body, init, jnp.arange(M)
     )
     top = jnp.argsort(-cnt)[:n_hyp]  # largest clusters first
@@ -393,6 +399,7 @@ def _orientation_cluster_average(
         sOd[top] / c,
         jnp.floor(sx[top] / c).astype(jnp.int32),
         jnp.floor(sy[top] / c).astype(jnp.int32),
+        ssim[top] / c,
         cnt[top],
     )
 
@@ -443,6 +450,7 @@ def rough_pose_and_refine(
     member_Od: jnp.ndarray,
     member_x: jnp.ndarray,
     member_y: jnp.ndarray,
+    member_sims: jnp.ndarray,
     member_valid: jnp.ndarray,
     cluster_valid: jnp.ndarray,
     cluster_score: jnp.ndarray,
@@ -459,30 +467,34 @@ def rough_pose_and_refine(
     rw, rh = render_wh
     p2plane = params.icp_variant == "point_to_plane" and scene_normals is not None
 
-    hq, hT, hD, hOd, hX, hY, hcnt = _orientation_cluster_average(
+    hq, hT, hD, hOd, hX, hY, hsim, hcnt = _orientation_cluster_average(
         member_quats, member_T, member_D, member_Od, member_x, member_y,
-        member_valid, params.orientation_clustering_th, params.max_seeds,
-        n_hyp=params.orientation_hypotheses,
+        member_sims, member_valid, params.orientation_clustering_th,
+        params.max_seeds, n_hyp=params.orientation_hypotheses,
     )
 
-    def _one_hypothesis(q_avg, T_aver, D_aver, Trans_aver, X, Y):
+    def _one_hypothesis(q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim):
         return _pose_one_hypothesis(
-            q_avg, T_aver, D_aver, Trans_aver, X, Y,
+            q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim,
             cluster_valid=cluster_valid, cluster_score=cluster_score,
             cloud=cloud, triangles=triangles, K_render=K_render,
             params=params, render_wh=render_wh, scene_normals=scene_normals,
             p2plane=p2plane,
         )
 
-    poses_k = jax.vmap(_one_hypothesis)(hq, hT, hD, hOd, hX, hY)
+    poses_k = jax.vmap(_one_hypothesis)(hq, hT, hD, hOd, hX, hY, hsim)
     if params.orientation_hypotheses == 1:
         return jax.tree_util.tree_map(lambda a: a[0], poses_k)
-    # Verification-based hypothesis selection: occupancy rate first (the
-    # symmetry partner re-renders onto a mismatching surface), ICP residual
-    # as the tie-break.  Empty hypothesis slots are excluded.
+    # Hypothesis selection (measured on the symmetric-box eval): the mean
+    # member MATCH SIMILARITY is the sharpest signal — the true
+    # orientation's templates out-match the symmetry partner by 2-12 units
+    # in every observed flip, while occupancy (hv) can favor the flip by a
+    # hair when the box extents nearly tie.  Similarity leads (unit scale),
+    # occupancy breaks sub-unit ties, ICP residual breaks those.  Empty
+    # hypothesis slots are excluded.
     key = jnp.where(
         (hcnt > 0) & poses_k.valid,
-        poses_k.hv_rate - 1e4 * poses_k.icp_fitness,
+        hsim + poses_k.hv_rate - 1e4 * poses_k.icp_fitness,
         -jnp.inf,
     )
     # If no hypothesis is valid, fall back to slot 0 (its valid flag
@@ -492,7 +504,7 @@ def rough_pose_and_refine(
 
 
 def _pose_one_hypothesis(
-    q_avg, T_aver, D_aver, Trans_aver, X, Y,
+    q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim,
     *, cluster_valid, cluster_score, cloud, triangles, K_render,
     params: CascadeParams, render_wh, scene_normals, p2plane,
 ) -> ClusterPose:
@@ -840,9 +852,16 @@ def _pose_one_hypothesis(
     pose = pose.at[:3, :3].set(R)
 
     rect = jnp.stack([X, Y, out.rect[2], out.rect[3]])
-    ok = cluster_valid & hv_ok & (jnp.sum(scene_valid) > 10) & (jnp.sum(model_valid) > 10)
+    # num_inliers == 0 means the ICP never found a single correspondence —
+    # the "pose" is untethered to the scene (its fitness is a vacuous 0.0,
+    # which would otherwise LOOK perfect to any fitness-ranked selection).
+    ok = (
+        cluster_valid & hv_ok
+        & (jnp.sum(scene_valid) > 10) & (jnp.sum(model_valid) > 10)
+        & (icp_res.num_inliers > 0)
+    )
     return ClusterPose(
         pose=pose, rect=rect, score=cluster_score,
         icp_fitness=icp_res.fitness, hv_rate=hv_rate, valid=ok,
-        rough_pose=pose0,
+        rough_pose=pose0, hyp_sim=hyp_sim,
     )

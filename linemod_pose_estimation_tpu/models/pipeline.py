@@ -153,6 +153,7 @@ class DetectionPipeline:
             mOd = self.Od_bank[tids]
             mx = matches.x[midx].astype(jnp.float32)
             my = matches.y[midx].astype(jnp.float32)
+            ms = matches.similarity[midx].astype(jnp.float32)
 
             f = partial(
                 CC.rough_pose_and_refine,
@@ -160,15 +161,16 @@ class DetectionPipeline:
                 render_wh=render_wh,
             )
             poses = jax.vmap(
-                lambda q, T, D, Od, x, y, mv, cv, cs: f(
-                    q, T, D, Od, x, y, mv, cv, cs,
+                lambda q, T, D, Od, x, y, sim, mv, cv, cs: f(
+                    q, T, D, Od, x, y, sim, mv, cv, cs,
                     cloud=cloud, triangles=tris, K_render=K_render,
                     scene_normals=scene_normals,
                 )
-            )(mq, mT, mD, mOd, mx, my, mval, c_valid, c_score)
+            )(mq, mT, mD, mOd, mx, my, ms, mval, c_valid, c_score)
             if p.nms_after_pose:
                 keep2 = CC.nms_rects(
-                    poses.rect, poses.hv_rate - 1e4 * poses.icp_fitness,
+                    poses.rect,
+                    poses.hyp_sim + poses.hv_rate - 1e4 * poses.icp_fitness,
                     poses.valid, p.iou_threshold,
                 )
                 poses = poses._replace(valid=poses.valid & keep2)

@@ -147,15 +147,49 @@ def _p2plane_delta(cur: jnp.ndarray, tgt: jnp.ndarray, n_tgt: jnp.ndarray,
     object, while distance-to-local-plane is invariant to where on the
     face the samples sit (and converges in a fraction of the iterations on
     flat geometry — PCL's WithNormals transform estimator is the same
-    idea)."""
+    idea).
+
+    On a face-on view the visible surface is ONE plane and the pure
+    plane system is rank-3-deficient (in-plane translation and rotation
+    about the normal are unconstrained; the solve explodes along the null
+    space — observed: 108 degrees in 10 iterations).  A small point-to-
+    point term (alpha) regularizes to full rank — NN correspondences
+    anchor the tangential directions — and a per-step trust region caps
+    whatever noise still leaks through."""
+    alpha = 0.1
     r = jnp.sum(n_tgt * (cur - tgt), axis=1)  # (N,)
     Jr = jnp.concatenate([jnp.cross(cur, n_tgt), n_tgt], axis=1)  # (N, 6)
     Jw = Jr * w[:, None]
     JtJ = jnp.einsum("ni,nj->ij", Jw, Jr)
     Jtr = Jw.T @ r
+    # Point-to-point block: residual (cur - tgt), Jacobian rows
+    # [-[cur]_x | I] per component (same linearization as _lm_step).
+    rp = cur - tgt  # (N, 3)
+    zeros = jnp.zeros_like(cur[:, 0])
+    cx = jnp.stack(
+        [
+            jnp.stack([zeros, cur[:, 2], -cur[:, 1]], axis=1),
+            jnp.stack([-cur[:, 2], zeros, cur[:, 0]], axis=1),
+            jnp.stack([cur[:, 1], -cur[:, 0], zeros], axis=1),
+        ],
+        axis=1,
+    )  # (N, 3, 3)
+    Jp = jnp.concatenate([cx, jnp.broadcast_to(jnp.eye(3), cx.shape)], axis=2)
+    Jpw = Jp * w[:, None, None]
+    JtJ = JtJ + alpha * jnp.einsum("nij,nik->jk", Jpw, Jp)
+    Jtr = Jtr + alpha * jnp.einsum("nij,ni->j", Jpw, rp)
     A = JtJ + 1e-9 * jnp.eye(6)
     delta = -jnp.linalg.solve(A, Jtr)
     omega, t = delta[:3], delta[3:]
+    # Trust region: one ICP step never needs more than ~0.1 rad / 5 cm.
+    scale = jnp.minimum(
+        1.0,
+        jnp.minimum(
+            0.1 / (jnp.linalg.norm(omega) + 1e-12),
+            0.05 / (jnp.linalg.norm(t) + 1e-12),
+        ),
+    )
+    omega, t = omega * scale, t * scale
     th = jnp.linalg.norm(omega) + 1e-12
     k = omega / th
     K = jnp.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]])
