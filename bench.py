@@ -243,10 +243,10 @@ def _bench_real_bank(B, iters, extra):
     refine_b = jax.jit(lambda R0, cand, f0: M.refine_candidates_pallas_batched(
         R0, f0, cand, T1, thr, E0=E0, fine_T=T0, interpret=interp))
 
-    def match_pruned(rgbs, depths):
+    def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell):
         R0, R1 = pre_b(rgbs, depths)
-        pp = prune_b(R1, W_cell, feats1.count, vpos)
-        raw = coarse_pos(R1, W_gemm, pp.p_idx)
+        pp = prune_b(R1, Wc, feats1.count, vpos)
+        raw = coarse_pos(R1, Wg, pp.p_idx)
         cand = sel_pos(raw, pp.p_idx, pp.p_keep, feats1.count, vpos)
         return refine_b(R0, cand, feats0)
 
@@ -283,14 +283,16 @@ def _bench_real_bank(B, iters, extra):
     # (the synthetic-noise e2e never converges and runs all 150 iters).
     try:
         extra["real_e2e_p50_ms"] = round(
-            _e2e_real_ms(match_pruned, meta, glob, frames, depths_np, reps), 2
+            _e2e_real_ms(match_pruned, meta, glob, frames, depths_np, reps,
+                         weights=(W_gemm, W_cell)), 2
         )
     except Exception as e:  # pragma: no cover
         extra["real_e2e_error"] = str(e)[:200]
     return fps, use_depth
 
 
-def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15):
+def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15,
+                 weights=None):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -308,7 +310,11 @@ def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15):
         [[glob.focal_length_x, 0, glob.width / 2.0],
          [0, glob.focal_length_y, glob.height / 2.0], [0, 0, 1.0]], jnp.float32,
     )
-    p = CC.CascadeParams(canonicalize="none")
+    # The production pose config: point-to-plane ICP (converges in ~3-9
+    # iterations where the Kabsch two-stage needed 150+; same accuracy
+    # config as ACCURACY.json, incl. symmetry disambiguation).
+    p = CC.CascadeParams(canonicalize="none", icp_variant="point_to_plane",
+                         orientation_hypotheses=2, nms_after_pose=True)
     # metadata tiled like the features (template ids may exceed n0)
     q_bank = jnp.tile(jnp.asarray(
         np.asarray(geo.quat_from_matrix(jnp.asarray(meta.R))), jnp.float32), (reps, 1))
@@ -329,36 +335,48 @@ def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15):
         midx = clusters.member_idx[order]
         f = partial(CC.rough_pose_and_refine, params=p,
                     render_wh=(glob.width, glob.height))
+        from linemod_pose_estimation_tpu.ops.verification import depth_normals
+        depth_mm_img = jnp.where(jnp.isfinite(cloud[..., 2]), cloud[..., 2], 0.0) * 1000.0
+        snrm = depth_normals(depth_mm_img, K_render)
         poses = jax.vmap(
-            lambda qq, T, D, Odd, x, y, mv, cv, cs: f(
-                qq, T, D, Odd, x, y, mv, cv, cs,
+            lambda qq, T, D, Odd, x, y, sim, mv, cv, cs: f(
+                qq, T, D, Odd, x, y, sim, mv, cv, cs,
                 cloud=cloud, triangles=tris, K_render=K_render,
+                scene_normals=snrm,
             )
         )(
             q_bank[matches.template_id[midx]], T_bank[matches.template_id[midx]],
             D_bank[matches.template_id[midx]], Od_bank[matches.template_id[midx]],
             matches.x[midx].astype(jnp.float32), matches.y[midx].astype(jnp.float32),
+            matches.similarity[midx].astype(jnp.float32),
             clusters.member_valid[order], alive[order], clusters.score[order],
         )
         return poses.pose, poses.valid
 
-    pose_jit = jax.jit(pose_stage)
     rgb1 = jnp.asarray(frames[:1])
     dep1 = jnp.asarray(depths_np[:1])
     cloud = pcu.depth_to_cloud(jnp.asarray(depths_np[0]) / 1000.0, jnp.asarray(K_render))
 
-    def one_frame():
-        m = match_frames(rgb1, dep1)
-        m1 = M.Matches(*(a[0] for a in m))
-        return pose_jit(m1, cloud)
+    # ONE jit for the whole frame: the match path is itself composed of
+    # five jitted stages, and each dispatch through the remote-TPU tunnel
+    # costs ~3.6 ms — more than some stages' device time.  Fusing
+    # match + slice + pose into a single program is both the honest
+    # serving shape and removes ~10 dispatches/frame.
+    Wg, Wc = weights
 
-    pose, valid = one_frame()
+    @jax.jit
+    def one_frame_fused(rgb, dep, cloud, Wg, Wc):
+        m = match_frames(rgb, dep, Wg, Wc)
+        m1 = M.Matches(*(a[0] for a in m))
+        return pose_stage(m1, cloud)
+
+    pose, valid = one_frame_fused(rgb1, dep1, cloud, Wg, Wc)
     jax.block_until_ready(pose)
     _log(f"real_e2e: {int(np.asarray(valid).sum())} verified hypotheses")
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(one_frame())
+        jax.block_until_ready(one_frame_fused(rgb1, dep1, cloud, Wg, Wc))
         ts.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(ts, 50))
 
@@ -463,14 +481,15 @@ def _e2e_p50_ms(match_frames, rgbs, depths, cloud, iters=15):
         midx = clusters.member_idx[order]
         f = partial(CC.rough_pose_and_refine, params=p, render_wh=(640, 480))
         poses = jax.vmap(
-            lambda qq, T, D, Odd, x, y, mv, cv, cs: f(
-                qq, T, D, Odd, x, y, mv, cv, cs,
+            lambda qq, T, D, Odd, x, y, sim, mv, cv, cs: f(
+                qq, T, D, Odd, x, y, sim, mv, cv, cs,
                 cloud=cloud, triangles=tris, K_render=K_render,
             )
         )(
             q_bank[matches.template_id[midx]], T_bank[matches.template_id[midx]],
             D_bank[matches.template_id[midx]], Od_bank[matches.template_id[midx]],
             matches.x[midx].astype(jnp.float32), matches.y[midx].astype(jnp.float32),
+            matches.similarity[midx].astype(jnp.float32),
             clusters.member_valid[order], alive[order], clusters.score[order],
         )
         return poses.pose

@@ -409,15 +409,90 @@ def _transplanted_scene_mask(
 ) -> jnp.ndarray:
     """Place the rendered mask (cropped at its bbox `rect`) at detected
     position (X, Y) — getPointCloudIndices mask overload semantics
-    (rgbdDetector.cpp:1457-1487 region mapping via it->rect)."""
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    sy = yy - Y + rect[1]
-    sx = xx - X + rect[0]
-    inb = (yy >= Y) & (yy < Y + rect[3]) & (xx >= X) & (xx < X + rect[2])
-    sy = jnp.clip(sy, 0, mask.shape[0] - 1)
-    sx = jnp.clip(sx, 0, mask.shape[1] - 1)
-    return inb & (mask[sy, sx] > 0)
+    (rgbdDetector.cpp:1457-1487 region mapping via it->rect).
+
+    Implemented as a 2-D TRANSLATION (static paste into a zero canvas,
+    then a dynamic slice): the obvious (H, W) index-math formulation
+    lowers to a generic per-pixel gather that costs ~4 ms/frame-lane on
+    TPU — it was the single hottest op of the whole pose stage — while
+    the paste+slice pair is two contiguous copies.
+
+    The mask region outside its bbox `rect` must be zero for the two
+    formulations to agree; a silhouette mask satisfies that by
+    construction, and the rect-window test reduces to it."""
+    mh, mw = mask.shape
+    m8 = (mask > 0)
+    # Canvas covers every placement with Y in [-mh, H+mh], X in [-mw, W+mw]
+    # (the refine round can project partially off-frame); the final clip is
+    # a formality for anything beyond that, where the mask is fully
+    # off-screen anyway.
+    canvas = jnp.zeros((2 * H + 2 * mh, 2 * W + 2 * mw), m8.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, m8, (H + mh, W + mw))
+    # scene(yy, xx) = mask(yy - Y + r1, xx - X + r0)
+    #              = canvas(H + mh + yy - Y + r1, W + mw + xx - X + r0)
+    oy = jnp.clip(H + mh - Y + rect[1], 0, H + 2 * mh)
+    ox = jnp.clip(W + mw - X + rect[0], 0, W + 2 * mw)
+    return jax.lax.dynamic_slice(canvas, (oy, ox), (H, W))
+
+
+def _windowed_scene_extract(
+    cloud: jnp.ndarray,  # (H, W, 3) organized scene cloud
+    scene_normals: jnp.ndarray | None,  # (H, W, 3) or None
+    mask: jnp.ndarray,  # (mh, mw) rendered silhouette
+    rect: jnp.ndarray,  # (4,) mask bbox in render coords
+    X: jnp.ndarray,  # transplant position (scene coords)
+    Y: jnp.ndarray,
+    dilate_px: int,
+    cap: int,
+):
+    """Transplant the mask at (X, Y), dilate, and compact the masked scene
+    points — all inside a (mh + pad, mw + pad) window around the
+    transplant, so the per-pixel work (dilation, finite test, compaction
+    scatter) scales with the OBJECT footprint, not the frame.
+
+    Returns (pts (cap, 3), valid (cap,), normals (cap, 3) or None)."""
+    H, W, _ = cloud.shape
+    mh, mw = mask.shape
+    pad = 2 * dilate_px + 8
+    WH, WW = min(H, mh + pad), min(W, mw + pad)
+    # Window anchored just above-left of the transplant (clipped in-frame).
+    oy0 = jnp.clip(Y - pad // 2, 0, H - WH)
+    ox0 = jnp.clip(X - pad // 2, 0, W - WW)
+    win_mask = _transplanted_scene_mask_window(mask, rect, X, Y, oy0, ox0, WH, WW)
+    for _ in range(dilate_px):
+        win_mask = (
+            win_mask
+            | jnp.roll(win_mask, 1, 0) | jnp.roll(win_mask, -1, 0)
+            | jnp.roll(win_mask, 1, 1) | jnp.roll(win_mask, -1, 1)
+        )
+    cloud_w = jax.lax.dynamic_slice(cloud, (oy0, ox0, jnp.int32(0)), (WH, WW, 3))
+    sel = win_mask & jnp.all(jnp.isfinite(cloud_w), axis=-1)
+    if scene_normals is None:
+        pts, valid = _compact_points(cloud_w.reshape(-1, 3), sel.reshape(-1), cap)
+        return pts, valid, None
+    norm_w = jax.lax.dynamic_slice(
+        scene_normals, (oy0, ox0, jnp.int32(0)), (WH, WW, 3)
+    )
+    return _compact_points(
+        cloud_w.reshape(-1, 3), sel.reshape(-1), cap, norm_w.reshape(-1, 3)
+    )
+
+
+def _transplanted_scene_mask_window(
+    mask: jnp.ndarray, rect: jnp.ndarray, X: jnp.ndarray, Y: jnp.ndarray,
+    oy0: jnp.ndarray, ox0: jnp.ndarray, WH: int, WW: int
+) -> jnp.ndarray:
+    """_transplanted_scene_mask restricted to the (WH, WW) window whose
+    scene-frame origin is (oy0, ox0): win(wy, wx) = scene(oy0+wy, ox0+wx)."""
+    mh, mw = mask.shape
+    m8 = mask > 0
+    canvas = jnp.zeros((2 * WH + 2 * mh, 2 * WW + 2 * mw), m8.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, m8, (WH + mh, WW + mw))
+    # win(wy, wx) = mask(oy0 + wy - Y + r1, ox0 + wx - X + r0)
+    #            = canvas(WH + mh + oy0 + wy - Y + r1, ...)
+    oy = jnp.clip(WH + mh + oy0 - Y + rect[1], 0, WH + 2 * mh)
+    ox = jnp.clip(WW + mw + ox0 - X + rect[0], 0, WW + 2 * mw)
+    return jax.lax.dynamic_slice(canvas, (oy, ox), (WH, WW))
 
 
 def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int,
@@ -434,13 +509,24 @@ def _compact_points(pts_flat: jnp.ndarray, sel_flat: jnp.ndarray, cap: int,
     k = jnp.maximum((n + cap - 1) // cap, 1)
     rank = jnp.cumsum(sel_flat) - 1
     sel = sel_flat & (rank % k == 0)
-    order = jnp.argsort(~sel, stable=True)[:cap]
-    valid = sel[order]
-    pts = jnp.where(valid[:, None], pts_flat[order], pcu.SENTINEL)
+    # Compact via cumsum + scatter-with-drop (the stable-argsort
+    # formulation sorts the full 307k-pixel frame per lane — ~1.6 ms/lane
+    # on TPU and one of the pose stage's hottest ops; the scatter is one
+    # pass).  Output order (raster order of selected pixels) is identical.
+    pos = jnp.where(sel, jnp.cumsum(sel) - 1, cap)
+    pts = (
+        jnp.full((cap, 3), pcu.SENTINEL, jnp.float32)
+        .at[pos].set(pts_flat.astype(jnp.float32), mode="drop")
+    )
+    valid = jnp.arange(cap) < jnp.sum(sel)
+    pts = jnp.where(valid[:, None], pts, pcu.SENTINEL)
     if aux_flat is None:
-        return pts.astype(jnp.float32), valid
-    aux = jnp.where(valid[:, None], aux_flat[order], 0.0)
-    return pts.astype(jnp.float32), valid, aux.astype(jnp.float32)
+        return pts, valid
+    aux = (
+        jnp.zeros((cap, 3), jnp.float32)
+        .at[pos].set(aux_flat.astype(jnp.float32), mode="drop")
+    )
+    return pts, valid, jnp.where(valid[:, None], aux, 0.0)
 
 
 def rough_pose_and_refine(
@@ -473,16 +559,17 @@ def rough_pose_and_refine(
         params.max_seeds, n_hyp=params.orientation_hypotheses,
     )
 
-    def _one_hypothesis(q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim):
+    def _one_hypothesis(q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim, cnt):
         return _pose_one_hypothesis(
             q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim,
+            hyp_on=cnt > 0,
             cluster_valid=cluster_valid, cluster_score=cluster_score,
             cloud=cloud, triangles=triangles, K_render=K_render,
             params=params, render_wh=render_wh, scene_normals=scene_normals,
             p2plane=p2plane,
         )
 
-    poses_k = jax.vmap(_one_hypothesis)(hq, hT, hD, hOd, hX, hY, hsim)
+    poses_k = jax.vmap(_one_hypothesis)(hq, hT, hD, hOd, hX, hY, hsim, hcnt)
     if params.orientation_hypotheses == 1:
         return jax.tree_util.tree_map(lambda a: a[0], poses_k)
     # Hypothesis selection (measured on the symmetric-box eval): the mean
@@ -505,7 +592,7 @@ def rough_pose_and_refine(
 
 def _pose_one_hypothesis(
     q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim,
-    *, cluster_valid, cluster_score, cloud, triangles, K_render,
+    *, hyp_on, cluster_valid, cluster_score, cloud, triangles, K_render,
     params: CascadeParams, render_wh, scene_normals, p2plane,
 ) -> ClusterPose:
     """Render + position strategy + ICP + HV for ONE orientation
@@ -513,6 +600,13 @@ def _pose_one_hypothesis(
     H, W = cloud.shape[:2]
     rw, rh = render_wh
     R_avg = geo.quat_to_matrix(q_avg)
+    # Vmapped while_loops iterate until the SLOWEST lane converges, and an
+    # invalid cluster / empty hypothesis slot fed garbage clouds can
+    # oscillate for the full 150-iteration budget, dominating the whole
+    # pose stage (~0.12 ms/iteration of lane-wide HBM traffic).  Masking
+    # the lane's model points makes its ICP delta the identity, so it
+    # converges on the first iteration and stops costing anything.
+    active = cluster_valid & hyp_on
 
     # Re-render at the averaged pose (renderDepthOnly/renderImageOnly at
     # -T_match with up = -row1(R), rgbdDetector.cpp:712-721).  The object
@@ -530,30 +624,20 @@ def _pose_one_hypothesis(
 
     # Model cloud: depthTo3d of the rendered view, masked (cpp:795-812).
     mcloud = pcu.depth_to_cloud(depth_m, K_r)
-    msel = (out.mask > 0) & jnp.all(jnp.isfinite(mcloud), axis=-1)
+    msel = (out.mask > 0) & jnp.all(jnp.isfinite(mcloud), axis=-1) & active
     model_pts, model_valid = _compact_points(
         mcloud.reshape(-1, 3), msel.reshape(-1), params.model_cap
     )
 
-    # Scene cloud: rendered mask transplanted to the detected (X, Y).
-    smask = _transplanted_scene_mask(out.mask, out.rect, X + params.bias_x, Y, H, W)
-    for _ in range(params.scene_mask_dilate_px):
-        smask = (
-            smask
-            | jnp.roll(smask, 1, 0) | jnp.roll(smask, -1, 0)
-            | jnp.roll(smask, 1, 1) | jnp.roll(smask, -1, 1)
-        )
-    ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
-    if p2plane:
-        scene_pts, scene_valid, scene_n = _compact_points(
-            cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap,
-            scene_normals.reshape(-1, 3),
-        )
-    else:
-        scene_pts, scene_valid = _compact_points(
-            cloud.reshape(-1, 3), ssel.reshape(-1), params.scene_cap
-        )
-        scene_n = None
+    # Scene cloud: rendered mask transplanted to the detected (X, Y),
+    # extracted from a mask-sized WINDOW of the frame rather than the full
+    # 307k-pixel plane (the full-frame compaction scatter was one of the
+    # pose stage's hottest ops; the transplanted mask can never exceed the
+    # render viewport, so everything outside the window is dead work).
+    scene_pts, scene_valid, scene_n = _windowed_scene_extract(
+        cloud, scene_normals if p2plane else None, out.mask, out.rect,
+        X + params.bias_x, Y, params.scene_mask_dilate_px, params.scene_cap,
+    )
 
     # Outlier removal + voxel downsampling (cpp:841-850).
     scene_valid = pcu.statistical_outlier_removal(
@@ -659,9 +743,12 @@ def _pose_one_hypothesis(
     # Kabsch update for the plane-residual Gauss-Newton (ops.icp.icp_plane
     # — the accuracy config: immune to the sparse-sampling noise floor).
     if p2plane:
+        # The plane variant converges in <10 iterations on real clusters;
+        # junk-but-valid clutter lanes never converge and would otherwise
+        # spin the whole vmapped loop for the full reference budget.
         icp_res = icp_two_stage_plane(
             model_pts_t, model_valid, scene_pts, scene_n, scene_valid,
-            coarse_iterations=params.icp_max_iter,
+            coarse_iterations=min(params.icp_max_iter, 40),
             coarse_corr_dist=params.icp_max_corr_dist,
             coarse_rejection=params.icp_ransac_thresh,
             transform_epsilon=params.icp_tr_epsilon,
@@ -731,7 +818,7 @@ def _pose_one_hypothesis(
             (Rp.T @ tp).astype(jnp.float32), K_vp, r_w, r_h,
         )
         rc = pcu.depth_to_cloud(out_r.depth_mm / 1000.0, K_vp)
-        rsel = (out_r.mask > 0) & jnp.all(jnp.isfinite(rc), axis=-1)
+        rsel = (out_r.mask > 0) & jnp.all(jnp.isfinite(rc), axis=-1) & active
         rpts, rvalid = _compact_points(
             rc.reshape(-1, 3), rsel.reshape(-1), params.model_cap
         )
@@ -742,26 +829,11 @@ def _pose_one_hypothesis(
         # Scene re-extraction at the refined pose: the rendered mask IS the
         # object's scene silhouette (same rays); transplant by the window
         # origin only — sub-pixel correct, no match-plateau bias.
-        smask_r = _transplanted_scene_mask(
-            out_r.mask, out_r.rect, out_r.rect[0] + ox, out_r.rect[1] + oy, H, W
+        spts_r, sval_r, sn_r = _windowed_scene_extract(
+            cloud, scene_normals if p2plane else None, out_r.mask, out_r.rect,
+            out_r.rect[0] + ox, out_r.rect[1] + oy,
+            params.scene_mask_dilate_px, params.scene_cap,
         )
-        for _d in range(params.scene_mask_dilate_px):
-            smask_r = (
-                smask_r
-                | jnp.roll(smask_r, 1, 0) | jnp.roll(smask_r, -1, 0)
-                | jnp.roll(smask_r, 1, 1) | jnp.roll(smask_r, -1, 1)
-            )
-        ssel_r = smask_r & jnp.all(jnp.isfinite(cloud), axis=-1)
-        if p2plane:
-            spts_r, sval_r, sn_r = _compact_points(
-                cloud.reshape(-1, 3), ssel_r.reshape(-1), params.scene_cap,
-                scene_normals.reshape(-1, 3),
-            )
-        else:
-            spts_r, sval_r = _compact_points(
-                cloud.reshape(-1, 3), ssel_r.reshape(-1), params.scene_cap
-            )
-            sn_r = None
         sval_r = pcu.statistical_outlier_removal(
             spts_r, sval_r, params.sor_mean_k, params.sor_std_mul
         )
