@@ -38,7 +38,10 @@ def main():
     cid = det.class_ids[0]
     n = det.num_templates(cid)
 
-    bm = BatchedMatcher(det, cid, threshold=91.0, batch=B)
+    # Production configuration: exact hierarchical position pruning
+    # (equality-tested vs the exhaustive path in tests/test_prune.py).
+    bm = BatchedMatcher(det, cid, threshold=91.0, batch=B, prune=True,
+                        prune_pos_cap=128)
 
     # Scenes: rendered trained views planted on black (one per batch slot).
     r = Renderer("/root/reference/config/stl/boxNew.stl", glob.width,
