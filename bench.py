@@ -193,10 +193,12 @@ def _bench_real_bank(B, iters, extra):
     E0 = bank.extent(0)
     use_depth = p.use_depth_normal
     C = 16 if use_depth else 8
-    # m_cap 128: measured survivors/frame mean ~49 on these scenes (the
-    # overflow flag is recorded in extras); 128 vs 256 saves ~0.6 ms/frame
-    # in the survivor GEMM at identical found-rate.
-    thr, top_k, m_cap = 91.0, 256, 128
+    # m_cap 64: measured survivors/frame mean ~45 on these scenes; the
+    # survivor GEMM cost is linear in the cap (256 -> 128 -> 64 measured
+    # 326 -> 390 fps/chip at identical found-rate).  Overflow degrades
+    # gracefully — the plan keeps the positions with the HIGHEST upper
+    # bounds and the overflow flag is recorded in extras.
+    thr, top_k, m_cap = 91.0, 256, 64
 
     n0 = bank.num_templates
     reps = max(1, -(-10240 // n0))  # tile UP to >= 10240
