@@ -198,7 +198,7 @@ def _bench_real_bank(B, iters, extra):
     # 326 -> 390 fps/chip at identical found-rate).  Overflow degrades
     # gracefully — the plan keeps the positions with the HIGHEST upper
     # bounds and the overflow flag is recorded in extras.
-    thr, top_k, m_cap = 91.0, 256, 64
+    thr, top_k, m_cap = 91.0, 128, 64
 
     n0 = bank.num_templates
     reps = max(1, -(-10240 // n0))  # tile UP to >= 10240

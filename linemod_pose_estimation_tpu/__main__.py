@@ -64,9 +64,16 @@ def _cascade_args(p: argparse.ArgumentParser) -> None:
                    help="Ensenso 752->640 crop offset (service.cpp:212)")
     p.add_argument("--canonicalize", choices=["x_front", "z_down", "none"],
                    default="x_front")
-    p.add_argument("--icp-variant", choices=["two_stage", "nonlinear"],
+    p.add_argument("--icp-variant",
+                   choices=["two_stage", "nonlinear", "point_to_plane"],
                    default="two_stage",
-                   help="icpPoseRefine vs icpNonLinearPoseRefine (LM)")
+                   help="icpPoseRefine vs icpNonLinearPoseRefine (LM) vs the "
+                        "point-to-plane accuracy variant")
+    p.add_argument("--accuracy", action="store_true",
+                   help="the measured-best pose config: point-to-plane ICP, "
+                        "two orientation hypotheses per cluster and "
+                        "pose-aware NMS (ACCURACY.json: deg max 0.92 over "
+                        "n=50 at 640x480)")
     # Static device capacities (CascadeParams); smaller values compile and
     # run faster on small scenes.
     p.add_argument("--max-clusters", type=int, default=4)
@@ -77,6 +84,7 @@ def _cascade_args(p: argparse.ArgumentParser) -> None:
 def _cascade_from_args(a) -> "CascadeParams":
     from .models.cascade import CascadeParams
 
+    acc = getattr(a, "accuracy", False)
     return CascadeParams(
         clustering_step=a.clustering_step,
         cluster_filter_thresh=a.cluster_filter_thresh,
@@ -87,7 +95,9 @@ def _cascade_from_args(a) -> "CascadeParams":
         icp_ransac_thresh=a.icp_ransac_thresh,
         bias_x=a.bias_x,
         canonicalize=a.canonicalize,
-        icp_variant=a.icp_variant,
+        icp_variant="point_to_plane" if acc else a.icp_variant,
+        orientation_hypotheses=2 if acc else 1,
+        nms_after_pose=acc,
         max_clusters=a.max_clusters,
         model_cap=a.model_cap,
         scene_cap=a.scene_cap,
