@@ -203,6 +203,19 @@ class Renderer:
         )
         tris = _pad_triangles(mesh.triangles.astype(np.float32), chunk)
         self.triangles = jnp.asarray(tris)
+        # Build the batched entry ONCE: constructing a fresh vmap closure per
+        # call re-traces the whole scan body every chunk (~3.5 s/chunk
+        # through the remote tunnel); a cached jit retraces only on new
+        # batch shapes.  Triangles/K are arguments, not closure captures, so
+        # the lowered HLO carries no mesh-sized constants.
+        self._batch_fn = jax.jit(
+            jax.vmap(
+                lambda tris, R, T, K: render(
+                    tris, R, T, K, self.width, self.height, self.chunk
+                ),
+                in_axes=(None, 0, 0, None),
+            )
+        )
 
     def render(self, R, T_bank) -> RenderOutput:
         return render(
@@ -211,7 +224,9 @@ class Renderer:
         )
 
     def render_batch(self, Rs, Ts) -> RenderOutput:
-        f = jax.vmap(
-            lambda R, T: render(self.triangles, R, T, self.K, self.width, self.height, self.chunk)
+        return self._batch_fn(
+            self.triangles,
+            jnp.asarray(Rs, jnp.float32),
+            jnp.asarray(Ts, jnp.float32),
+            self.K,
         )
-        return f(jnp.asarray(Rs, jnp.float32), jnp.asarray(Ts, jnp.float32))

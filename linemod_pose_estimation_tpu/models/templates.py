@@ -72,43 +72,50 @@ def _select_scattered(candidates: np.ndarray, scores: np.ndarray, num: int) -> n
     relaxations (they are never cleared), matching OpenCV's loop structure.
     """
     order = np.argsort(-scores, kind="stable")
-    cand = candidates[order]
+    return _select_from_sorted(candidates[order], num)
+
+
+def _select_from_sorted(cand: np.ndarray, num: int) -> np.ndarray:
+    """selectScatteredFeatures walk over candidates ALREADY in score order
+    (the trainer sorts on device; numpy stable argsort and jnp stable
+    argsort order ties identically — by original index)."""
     n = cand.shape[0]
     if n == 0:
         return cand
     distance = float(n / num + 1)
-    d2 = distance * distance
     cap = min(num, n)
-    kept = np.empty((cap, cand.shape[1]), cand.dtype)
-    ky = np.empty(cap, np.float64)
-    kx = np.empty(cap, np.float64)
-    nk = 0
-    i = 0
-    # The candidate walk stays a Python loop (OpenCV's greedy order is
-    # inherently sequential) but the distance-to-all-kept test vectorizes —
-    # the trainer spends its time here (~8 s/view with the scalar inner
-    # loop, ~0.2 s vectorized).
-    while nk < num:
-        c = cand[i]
-        cy, cx = float(c[0]), float(c[1])
-        if nk == 0 or float(
-            np.min((ky[:nk] - cy) ** 2 + (kx[:nk] - cx) ** 2)
-        ) >= d2:
-            kept[nk] = c
-            ky[nk] = cy
-            kx[nk] = cx
-            nk += 1
-            if nk == cap:
-                break
-        i += 1
-        if i == n:
-            i = 0
-            distance -= 1.0
-            d2 = distance * distance
-            if distance < 1.0:
-                # All pixel-distinct candidates are in; nothing more can join.
-                break
-    return kept[:nk].copy()
+    cy = cand[:, 0].astype(np.float64)
+    cx = cand[:, 1].astype(np.float64)
+    # mind2[i] = squared distance from candidate i to its nearest KEPT
+    # feature; updated incrementally on every accept.  Each relaxation wrap
+    # then reduces to one vectorized mind2 >= d^2 test plus a short
+    # sequential re-check, and wraps that cannot admit anything are skipped
+    # by jumping distance straight to floor-equivalent of the best mind2 —
+    # exact-equivalent to the naive walk (pinned by a test) but ~1000x
+    # faster on dense candidate sets (depth-normal candidates are the whole
+    # mask interior, so distance starts ~n/num ~ hundreds of px).
+    mind2 = np.full(n, np.inf)
+    kept_idx: list[int] = []
+    while len(kept_idx) < cap and distance >= 1.0:
+        d2 = distance * distance
+        passing = np.nonzero(mind2 >= d2)[0]
+        for j in passing:
+            if mind2[j] >= d2:  # re-check vs accepts earlier in this wrap
+                kept_idx.append(j)
+                np.minimum(
+                    mind2, (cy - cy[j]) ** 2 + (cx - cx[j]) ** 2, out=mind2
+                )
+                if len(kept_idx) == cap:
+                    break
+        if len(kept_idx) == cap:
+            break
+        # After a full wrap every candidate has mind2 < d2; the next wrap
+        # that can admit anything is at distance' = distance - k with
+        # k = ceil(distance - sqrt(max mind2)).  Jumping there visits the
+        # same candidates in the same order as walking each empty wrap.
+        s = float(np.sqrt(mind2.max()))
+        distance -= max(1.0, float(np.ceil(distance - s)))
+    return cand[kept_idx].copy() if kept_idx else cand[:0].copy()
 
 
 def _bit_to_index(bitmask: np.ndarray) -> np.ndarray:

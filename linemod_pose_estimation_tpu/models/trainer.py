@@ -52,17 +52,25 @@ class TrainerConfig:
     class_id: str = "obj"
 
 
-@partial(jax.jit, static_argnames=("use_depth", "levels", "crop"))
+@partial(jax.jit, static_argnames=(
+    "weak_threshold", "dist_thresh", "diff_thresh", "use_depth", "levels",
+    "crop",
+))
 def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
                      diff_thresh, use_depth: bool, levels: int = 2,
                      crop: int = 288):
     """Quantize a whole render chunk in ONE device dispatch and return only
-    fixed-size CROPS around each view's render rect: per level, (quant,
-    mag2) for ColorGradient, quant for DepthNormal, plus the cropped mask,
-    center depths and crop origins.  One small host transfer per chunk
-    instead of ~8 full-frame round-trips per view — those dominate training
-    time otherwise (profiled: ~8 s/view through this environment's
-    remote-TPU tunnel; ~0.3 s/view batched + cropped).
+    fixed-size CROPS around each view's render rect, PACKED into one u8
+    tensor + one f32 tensor per level plus one small meta array.  The
+    remote-TPU tunnel charges ~250 ms latency per device<->host transfer
+    regardless of size, so the leaf COUNT (not bytes) dominates training
+    time; thresholds are static for the same reason (a traced float is an
+    upload per call).
+
+    Per level l (side s = crop >> l):
+      u8_l  (B, nu8, s, s): [grad quant, (norm quant), mask]
+      f32_l (B, s, s):      gradient mag^2 (selection scores)
+    meta (B, 3) f32: crop origin (cy0, cx0) and center depth.
 
     The quantizers run on the FULL frame first (identical numerics to the
     detection path — no crop-border artifacts), then the results crop.
@@ -77,8 +85,8 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
         # (level coordinates stay consistent across the pyramid).
         cx0 = (cx0 // (1 << (levels - 1))) * (1 << (levels - 1))
         cy0 = (cy0 // (1 << (levels - 1))) * (1 << (levels - 1))
-        out = {"grad": [], "norm": [], "mask": [], "origin": (cy0, cx0)}
-        out["center_depth"] = depth[H // 2, W // 2]
+        u8_levels, f32_levels = [], []
+        center_depth = depth[H // 2, W // 2]
         cur = rgb.astype(jnp.float32)
         cur_d = depth
         cur_m = mask
@@ -86,14 +94,15 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
             s = crop >> l
             oy, ox = cy0 >> l, cx0 >> l
             q, m2 = FO.quantize_color_gradient(cur, weak_threshold)
-            out["grad"].append((
-                jax.lax.dynamic_slice(q, (oy, ox), (s, s)),
-                jax.lax.dynamic_slice(m2, (oy, ox), (s, s)),
-            ))
+            planes = [jax.lax.dynamic_slice(q, (oy, ox), (s, s))]
             if use_depth:
                 qd = FO.quantize_depth_normal(cur_d, dist_thresh, diff_thresh)
-                out["norm"].append(jax.lax.dynamic_slice(qd, (oy, ox), (s, s)))
-            out["mask"].append(jax.lax.dynamic_slice(cur_m, (oy, ox), (s, s)))
+                planes.append(jax.lax.dynamic_slice(qd, (oy, ox), (s, s)))
+            planes.append(
+                jax.lax.dynamic_slice(cur_m, (oy, ox), (s, s)).astype(jnp.uint8)
+            )
+            u8_levels.append(jnp.stack(planes, axis=0))
+            f32_levels.append(jax.lax.dynamic_slice(m2, (oy, ox), (s, s)))
             if l + 1 < levels:
                 cur = jnp.stack(
                     [FO.pyr_down(cur[..., c]) for c in range(cur.shape[-1])],
@@ -101,7 +110,10 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
                 )
                 cur_d = cur_d[::2, ::2]
                 cur_m = cur_m[::2, ::2]
-        return out
+        meta = jnp.stack([
+            cy0.astype(jnp.float32), cx0.astype(jnp.float32), center_depth,
+        ])
+        return {"u8": u8_levels, "f32": f32_levels, "meta": meta}
 
     return jax.vmap(one)(rgbs, depths, masks, rects)
 
@@ -136,15 +148,20 @@ def train_from_stl(
     )
 
     B = cfg.render_batch
-    for start in range(0, len(views), B):
-        chunk = views[start : start + B]
-        Rb = np.stack([v.R for v in chunk]).astype(np.float32)
-        Tb = np.stack([v.T for v in chunk]).astype(np.float32)
-        out = r.render_batch(Rb, Tb)
-        # One batched featurization dispatch; only fixed-size crops around
-        # each render rect transfer to host (plus rects + center depths).
-        dp = cfg.detector
-        CROP = min(288, cfg.width, cfg.height)
+    dp = cfg.detector
+    CROP = min(288, cfg.width, cfg.height)
+
+    def _dispatch(chunk):
+        """Render + featurize one chunk on device and start the async
+        device->host copies; returns without blocking so the next chunk's
+        device work and DMA overlap the current chunk's host extraction."""
+        # One upload per chunk: R and T ride together.
+        RT = jnp.asarray(np.stack(
+            [np.concatenate([v.R.astype(np.float32),
+                             v.T.astype(np.float32)[None]], axis=0)
+             for v in chunk]
+        ))
+        out = r.render_batch(RT[:, :3], RT[:, 3])
         feat = _featurize_batch(
             out.rgb, out.depth_mm.astype(jnp.float32), out.mask, out.rect,
             dp.color.weak_threshold, dp.depth.distance_threshold,
@@ -152,9 +169,23 @@ def train_from_stl(
             use_depth=dp.use_depth_normal, levels=dp.pyramid_levels,
             crop=CROP,
         )
+        for leaf in jax.tree.leaves(feat) + [out.rect]:
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-array leaf
+                pass
+        return out, feat
+
+    chunks = [views[s : s + B] for s in range(0, len(views), B)]
+    pending = _dispatch(chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        out, feat = pending
+        if ci + 1 < len(chunks):
+            pending = _dispatch(chunks[ci + 1])
         feat = jax.tree.map(np.asarray, feat)
         rect = np.asarray(out.rect)
-        origins = feat["origin"]
+        start = ci * B
+        meta_np = feat["meta"]  # (B, 3): cy0, cx0, center_depth
         margin = 12  # blur/Sobel/vote support around the mask
 
         for j, v in enumerate(chunk):
@@ -172,12 +203,14 @@ def train_from_stl(
                 )
             else:
                 pre = {
-                    "grad": [(q[j], m[j]) for (q, m) in feat["grad"]],
-                    "norm": [q[j] for q in feat["norm"]],
+                    "grad": [(u8[j, 0], m2[j])
+                             for u8, m2 in zip(feat["u8"], feat["f32"])],
+                    "norm": ([u8[j, 1] for u8 in feat["u8"]]
+                             if dp.use_depth_normal else []),
                 }
                 tid = det.add_template(
                     np.zeros((CROP, CROP, 3), np.uint8),  # unused with `pre`
-                    feat["mask"][0][j],
+                    feat["u8"][0][j, -1],
                     cfg.class_id,
                     depth_mm=(np.zeros((CROP, CROP), np.uint16)
                               if dp.use_depth_normal else None),
@@ -187,12 +220,12 @@ def train_from_stl(
                     # rect0 is crop-local; re-base to full-frame coords.
                     t = det._templates[cfg.class_id][tid]
                     x0, y0, w0, h0 = t.rect0
-                    t.rect0 = (x0 + int(origins[1][j]), y0 + int(origins[0][j]),
+                    t.rect0 = (x0 + int(meta_np[j, 1]), y0 + int(meta_np[j, 0]),
                                w0, h0)
             if tid < 0:
                 continue  # too few features -> skip view (renderer.cpp:308-315)
             # distance = D_obj - center surface depth (renderer.cpp:284-285)
-            cd = float(feat["center_depth"][j]) / 1000.0
+            cd = float(meta_np[j, 2]) / 1000.0
             Rs.append(v.R)
             Ts.append(v.T)
             Ks.append(K_np)
