@@ -34,9 +34,12 @@ class BatchedMatcher:
     expensive coarse GEMM runs over at most `prune_cap` templates x
     `prune_pos_cap` window positions whose cell-max upper bound reaches
     the selection threshold.  Exactness: every candidate at or above
-    `threshold - 5` survives; `self.last_prune` (a PrunePlan,
-    device-side) reports survivor counts and the overflow flag for the
-    most recent batch."""
+    `threshold - 5` survives; in the default "positions" mode an IN-GRAPH
+    lax.cond falls back to the exhaustive GEMM whenever survivor positions
+    overflow `prune_pos_cap`, so results are UNCONDITIONALLY exact (the
+    reference engine scores every position — rgbdDetector.cpp:31-34).
+    `self.last_prune` (a PrunePlan, device-side) reports survivor counts
+    and whether the most recent batch took the fallback."""
 
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
                  top_k: int = 256, prune: bool = False, prune_cap: int = 1024,
@@ -98,33 +101,18 @@ class BatchedMatcher:
         )
         if self.prune and self.prune_mode == "positions":
             m_cap = self.prune_pos_cap
-
-            def _prune(Rb, W_cell, f1, Hc, Wc):
-                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-                return M.prune_positions_batched(
-                    Rb, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1, m_cap
-                )
-
-            self._prune = jax.jit(_prune, static_argnames=("Hc", "Wc"))
             # Pallas strided-DMA patch gather on TPU (XLA's generic gather
             # for the survivor patches measured ~10x off HBM bandwidth).
             pallas_gather = jax.default_backend() != "cpu"
-            self._coarse_pos = jax.jit(
-                lambda Rb, W, p_idx: M.coarse_scores_gemm_flat_batched_pos(
-                    Rb, W, p_idx, T1, Kc1, use_pallas=pallas_gather
-                )
-            )
 
-            def _sel_pos(raw_sub, p_idx, p_keep, f1, Hc, Wc):
+            def _match_fb(Rb, W_gemm, W_cell, f1, Hc, Wc):
                 vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-                return M.select_candidates_flat_pos(
-                    raw_sub, f1.count, vpos, p_idx, p_keep, thr - 5.0, top_k, Wc
+                return M.match_coarse_pruned_with_fallback(
+                    Rb, W_gemm, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1,
+                    m_cap, top_k, Wc, use_pallas=pallas_gather,
                 )
 
-            self._sel_pos = jax.jit(
-                jax.vmap(_sel_pos, in_axes=(0, 0, 0, None, None, None)),
-                static_argnames=("Hc", "Wc"),
-            )
+            self._match_fb = jax.jit(_match_fb, static_argnames=("Hc", "Wc"))
         elif self.prune:
             n_cap, m_cap = self.prune_cap, self.prune_pos_cap
 
@@ -185,11 +173,11 @@ class BatchedMatcher:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
         if self.prune and self.prune_mode == "positions":
-            pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
+            # One fused program: prune -> lax.cond(overflow: exhaustive,
+            # else: survivor GEMM) -> select.  Unconditionally exact.
+            cands, pr = self._match_fb(R1, self.W1, self.W_cell, self.feats1,
+                                       Hc, Wc)
             self.last_prune = pr
-            raw_sub = self._coarse_pos(R1, self.W1, pr.p_idx)
-            cands = self._sel_pos(raw_sub, pr.p_idx, pr.p_keep, self.feats1,
-                                  Hc, Wc)
         elif self.prune:
             pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
             self.last_prune = pr

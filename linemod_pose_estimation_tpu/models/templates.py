@@ -30,6 +30,35 @@ from ..ops.match import LevelFeatures
 from ..utils import opencv_yaml as oy
 
 
+def _maybe_ungz(path: str) -> str:
+    """Decompress a `.gz` bank to a cached temp file so the native C++
+    parser (and the PyYAML fallback) always see plain YAML.  Committed
+    banks ship gzipped; cv::FileStorage reads `.gz` transparently and so
+    do we (rgbdDetector.cpp:1694 reads the shipped plain files)."""
+    if not path.endswith(".gz"):
+        return path
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(path)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    dst = os.path.join(tempfile.gettempdir(), f"lpe_bank_{tag}.yml")
+    if not os.path.exists(dst):
+        tmp = dst + ".part"
+        with gzip.open(path, "rb") as f, open(tmp, "wb") as g:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                g.write(chunk)
+        os.replace(tmp, dst)
+    return dst
+
+
 @dataclass
 class ModalityParams:
     weak_threshold: float = 10.0
@@ -507,9 +536,11 @@ class TemplateBank:
 
         Uses the native C++ parser (native/bank_loader.cpp, ~10x faster)
         when the toolchain built it; PyYAML otherwise — both bit-identical.
+        `.gz` paths are decompressed to a temp file transparently.
         """
         from ..utils import native
 
+        path = _maybe_ungz(path)
         nat = native.load_params_native(path) if native.available() else None
         if nat is not None:
             R, T, K, D, Od, Rect, g = nat
@@ -633,6 +664,7 @@ class TemplateBank:
     def read_templates_yaml(path: str, f_cap: int = 64) -> "TemplateBank":
         from ..utils import native
 
+        path = _maybe_ungz(path)
         nat = native.load_templates_native(path) if native.available() else None
         if nat is not None:
             entries, features, header, mparams = nat
@@ -685,9 +717,11 @@ class TemplateBank:
                 if t.size[0] != (0, 0):
                     t.rect0 = (0, 0, t.size[0][1], t.size[0][0])
             # class_id lives in a small header region; grab it cheaply.
+            import gzip
             import re
 
-            with open(path) as f:
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt") as f:
                 head = f.read(65536)
             m = re.search(r"class_id:\s*(\S+)", head)
             class_id = m.group(1) if m else "obj"

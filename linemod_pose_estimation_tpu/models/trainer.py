@@ -155,11 +155,15 @@ def train_from_stl(
         """Render + featurize one chunk on device and start the async
         device->host copies; returns without blocking so the next chunk's
         device work and DMA overlap the current chunk's host extraction."""
-        # One upload per chunk: R and T ride together.
+        # One upload per chunk: R and T ride together.  The last (short)
+        # chunk pads to the full batch by repeating its final view — a
+        # different batch shape would retrace render+featurize (~90 s of
+        # remote XLA compile for a dozen views); hosts drop the pad rows.
+        pad = [chunk[-1]] * (B - len(chunk))
         RT = jnp.asarray(np.stack(
             [np.concatenate([v.R.astype(np.float32),
                              v.T.astype(np.float32)[None]], axis=0)
-             for v in chunk]
+             for v in list(chunk) + pad]
         ))
         out = r.render_batch(RT[:, :3], RT[:, 3])
         feat = _featurize_batch(

@@ -682,6 +682,62 @@ def select_candidates_flat_pos(
     )
 
 
+@partial(jax.jit, static_argnames=(
+    "T", "Kc", "m_cap", "top_k", "Wc", "use_pallas", "interpret"
+))
+def match_coarse_pruned_with_fallback(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    m_cap: int,
+    top_k: int,
+    Wc: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> tuple[CoarseMatches, PrunePlan]:
+    """Position-pruned coarse pass with an IN-GRAPH exhaustive fallback:
+    if any frame's survivor-position count exceeds m_cap (PrunePlan.
+    overflow), a lax.cond re-runs the whole batch through the exhaustive
+    GEMM + select instead of the capped survivor GEMM, so the candidate
+    set is UNCONDITIONALLY exact — matching cv::linemod's semantics, which
+    scores every position (rgbdDetector.cpp:31-34) — with no host sync on
+    the hot path (the cond predicate stays on device; the exhaustive
+    branch only executes, and only pays, on overflow).
+
+    Returns (batched CoarseMatches over (B, top_k), PrunePlan)."""
+    B = Rb.shape[0]
+    pp = prune_positions_batched(
+        Rb, W_cell, total_features, vpos_flat, threshold, T, Kc, m_cap
+    )
+
+    def _pruned(_):
+        raw = coarse_scores_gemm_flat_batched_pos(
+            Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        return jax.vmap(
+            lambda r, pi, pk: select_candidates_flat_pos(
+                r, total_features, vpos_flat, pi, pk, threshold, top_k, Wc
+            )
+        )(raw, pp.p_idx, pp.p_keep)
+
+    def _exhaustive(_):
+        raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
+        return jax.vmap(
+            lambda r: select_candidates_flat(
+                r, total_features, vpos_flat, threshold, top_k, Wc
+            )
+        )(raw)
+
+    cands = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
+    return cands, pp
+
+
 @partial(jax.jit, static_argnames=("T", "Kc"))
 def coarse_scores_gemm_flat_batched_sub(
     Rb: jnp.ndarray, W_rows: jnp.ndarray, idx: jnp.ndarray, T: int, Kc: int

@@ -493,19 +493,14 @@ def make_sharded_detect_step(
             # Position-only pruning (the single-chip production mode):
             # shard-local on both the bound and the exact GEMM; the weight
             # matrix stays static (contract bank.W1_rows on its K axis).
-            plan = M.prune_positions_batched(
-                R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,
-                prune_pos_cap,
-            )
-            raw_sub = M.coarse_scores_gemm_flat_batched_pos(
-                R1, bank.W1_rows.T, plan.p_idx, T1, Kc1,
+            # On survivor overflow an in-graph lax.cond re-runs this
+            # shard's batch exhaustively — shard-local, no collectives in
+            # either branch, so shards can take different branches freely.
+            cand, _plan = M.match_coarse_pruned_with_fallback(
+                R1, bank.W1_rows.T, bank.W_cell, bank.feats1.count, vpos,
+                sel_thr, T1, Kc1, prune_pos_cap, top_k, Wc,
                 use_pallas=use_pallas_refine,
             )
-            cand = jax.vmap(
-                lambda raw, pi, pk: M.select_candidates_flat_pos(
-                    raw, bank.feats1.count, vpos, pi, pk, sel_thr, top_k, Wc,
-                )
-            )(raw_sub, plan.p_idx, plan.p_keep)
         elif prune:
             plan = M.prune_plan_batched(
                 R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,

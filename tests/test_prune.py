@@ -280,3 +280,54 @@ def test_batched_matcher_prune_matches_exhaustive(rng):
                                        np.asarray(mf.x[b]), np.asarray(mf.y[b]),
                                        np.asarray(mf.similarity[b]), vf[b]) if v}
         assert sb == sf and len(sb) > 0
+
+
+def test_fallback_on_overflow_equals_exhaustive(rng):
+    """match_coarse_pruned_with_fallback: when survivor positions exceed
+    m_cap, the in-graph lax.cond must re-run the batch exhaustively so the
+    valid candidate set STILL equals the exhaustive engine's (VERDICT
+    round 3 item 4: no configuration may silently lose true detections).
+    The reference scores every position unconditionally
+    (rgbdDetector.cpp:31-34)."""
+    n, top_k, thr = 64, 96, 80.0
+    feats = _bank(rng, n)
+    # Many planted full-score positions + a tiny cap -> guaranteed overflow.
+    Rb_np = np.array(_frames(rng, b=2, sparse=0.5, hi=3))
+    for b, (py, px) in [(0, (3, 4)), (0, (8, 2)), (0, (12, 11)), (0, (5, 13)),
+                        (1, (7, 9)), (1, (2, 2)), (1, (10, 13)), (1, (13, 4))]:
+        Rb_np = _plant(Rb_np, feats, tid=int(rng.integers(0, n)), b=b,
+                       py=py, px=px)
+    Rb = jnp.asarray(Rb_np)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    raw = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)
+    ref_sets = [
+        _valid_set(M.select_candidates_flat(raw[b], feats.count, vpos, thr,
+                                            top_k, Wc))
+        for b in range(B)
+    ]
+    assert all(len(s) for s in ref_sets)
+
+    m_cap = 2  # below the planted survivor count per frame
+    plan_probe = M.prune_positions_batched(Rb, W_cell, feats.count, vpos, thr,
+                                           T1, KC, m_cap)
+    assert bool(plan_probe.overflow), "test must engineer an overflow"
+
+    cands, plan = M.match_coarse_pruned_with_fallback(
+        Rb, W_gemm, W_cell, feats.count, vpos, thr, T1, KC, m_cap, top_k, Wc)
+    assert bool(plan.overflow)
+    for b in range(B):
+        got = _valid_set(M.CoarseMatches(*(a[b] for a in cands)))
+        assert got == ref_sets[b], "fallback output must equal exhaustive"
+
+    # And with ample cap the pruned branch runs and still agrees.
+    cands2, plan2 = M.match_coarse_pruned_with_fallback(
+        Rb, W_gemm, W_cell, feats.count, vpos, thr, T1, KC, Hc * Wc, top_k, Wc)
+    assert not bool(plan2.overflow)
+    for b in range(B):
+        got = _valid_set(M.CoarseMatches(*(a[b] for a in cands2)))
+        assert got == ref_sets[b]
