@@ -241,9 +241,9 @@ def _bench_real_bank(B, iters, extra):
         lambda raw, cnt, vp: M.select_candidates_flat(raw, cnt, vp, thr - 5.0,
                                                       top_k, Wc),
         in_axes=(0, None, None)))
-    interp = jax.default_backend() == "cpu"
-    refine_b = jax.jit(lambda R0, cand, f0: M.refine_candidates_pallas_batched(
-        R0, f0, cand, T1, thr, E0=E0, fine_T=T0, interpret=interp))
+    walk_pallas = jax.default_backend() != "cpu"
+    refine_b = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+        R0, f0, cand, T1, thr, E0=E0, fine_T=T0, use_pallas=walk_pallas))
 
     def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell):
         R0, R1 = pre_b(rgbs, depths)
@@ -420,10 +420,11 @@ def _build_stages(n_templates, n_mod, T0, T1, E1, E0, top_k, threshold,
         )
 
     sel_b = jax.jit(jax.vmap(_sel, in_axes=(0, None)))
-    interp = jax.default_backend() == "cpu"  # Pallas: interpret off-TPU
+    walk_pallas = jax.default_backend() != "cpu"
     refine_b = jax.jit(
-        lambda R0, cand, f0: M.refine_candidates_pallas_batched(
-            R0, f0, cand, T1, threshold, E0=E0, fine_T=T0, interpret=interp
+        lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+            R0, f0, cand, T1, threshold, E0=E0, fine_T=T0,
+            use_pallas=walk_pallas,
         )
     )
 

@@ -188,11 +188,11 @@ class Detector:
         # Coarse pass gate: slightly relaxed threshold (the reported score is
         # the level-0 one; OpenCV also thresholds the coarse level directly).
         cand = M.select_candidates(raw, feats1.count, vpos, threshold - 5.0, top_k)
-        if self.engine == "conv":
-            return M.refine_candidates_slices(
-                R0, feats0, cand, T1, threshold, E0=bank.extent(0), fine_T=T0
-            )
-        return M.refine_candidates(R0, feats0, cand, T1, threshold, fine_T=T0)
+        # cv::linemod's exact local-refinement walk: positions and scores are
+        # bit-identical to the genuine engine (tests/test_oracle_parity.py).
+        return M.refine_candidates_opencv(
+            R0, feats0, cand, T1, threshold, E0=bank.extent(0), fine_T=T0
+        )
 
     # -- fused single-dispatch matcher (bench / serving path) ---------------
 
@@ -221,7 +221,15 @@ class Detector:
         feats0 = bank.merged_features(0)
         if use_pallas_refine is None:
             use_pallas_refine = jax.default_backend() not in ("cpu",)
-        refine = M.refine_candidates_pallas if use_pallas_refine else M.refine_candidates_slices
+        # cv::linemod's exact walk on both backends (Pallas resident-frame
+        # kernel on TPU, XLA twin on CPU) — positions/scores bit-identical
+        # to the genuine engine.
+        def refine(R0, f0, cand, T1, thr, E0, fine_T):
+            m = M.refine_candidates_opencv_batched(
+                R0[None], f0, M.CoarseMatches(*(a[None] for a in cand)),
+                T1, thr, E0, fine_T, use_pallas=use_pallas_refine,
+            )
+            return M.Matches(*(a[0] for a in m))
 
         # Position-major (Hc*Wc, N) scores (full-lane-width elementwise ops).
         coarse = jax.jit(lambda R, W: M.coarse_scores_gemm_flat(R, W, T1, Kc1))

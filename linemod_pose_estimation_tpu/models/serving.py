@@ -140,22 +140,17 @@ class BatchedMatcher:
                 jax.vmap(_sel_sub, in_axes=(0, 0, 0, None, None, None, None, None)),
                 static_argnames=("Hc", "Wc"),
             )
-        if jax.default_backend() == "cpu":
-            self._refine = jax.jit(
-                jax.vmap(
-                    lambda R0, cand, f0: M.refine_candidates_slices(
-                        R0, f0, cand, T1, thr, E0=E0, fine_T=T0
-                    ),
-                    in_axes=(0, 0, None),
-                )
+        # cv::linemod's exact local-refinement walk — positions/scores are
+        # bit-identical to the genuine engine; on TPU the walk runs as the
+        # resident-frame Pallas kernel (ONE dispatch per frame, zero
+        # per-candidate DMA).
+        walk_pallas = jax.default_backend() != "cpu"
+        self._refine = jax.jit(
+            lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+                R0, f0, cand, T1, thr, E0=E0, fine_T=T0,
+                use_pallas=walk_pallas,
             )
-        else:
-            # ONE Pallas dispatch over all B*top_k candidates.
-            self._refine = jax.jit(
-                lambda R0, cand, f0: M.refine_candidates_pallas_batched(
-                    R0, f0, cand, T1, thr, E0=E0, fine_T=T0
-                )
-            )
+        )
 
     def match_batch(
         self, rgbs: jnp.ndarray, depths_mm: jnp.ndarray | None = None

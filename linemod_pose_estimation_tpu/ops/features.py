@@ -111,30 +111,111 @@ def sobel3(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return dx, dy
 
 
+# cv::fastAtan2 polynomial constants: the double coefficient is truncated to
+# float FIRST, then multiplied by (float)(180/pi) in float — replicated here
+# digit-for-digit so angles match the genuine engine bit-for-bit.
+_RAD2DEG_F = np.float32(180.0 / np.pi)
+_ATAN_P1 = np.float32(np.float32(0.9997878412794807) * _RAD2DEG_F)
+_ATAN_P3 = np.float32(np.float32(-0.3258083974640975) * _RAD2DEG_F)
+_ATAN_P5 = np.float32(np.float32(0.1555786518463281) * _RAD2DEG_F)
+_ATAN_P7 = np.float32(np.float32(-0.04432655554792128) * _RAD2DEG_F)
+_DBL_EPS_F = np.float32(2.220446049250313e-16)
+
+
+def fast_atan2_deg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """cv::fastAtan2 (hal fastAtan32f), elementwise in f32: degrees in
+    [0, 360).  Same polynomial, constants, and operation order as OpenCV, so
+    the quantized orientation matches the real engine bit-for-bit."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    big = ax >= ay
+    num = jnp.where(big, ay, ax)
+    den = jnp.where(big, ax, ay) + _DBL_EPS_F
+    c = num / den
+    c2 = c * c
+    a = (((_ATAN_P7 * c2 + _ATAN_P5) * c2 + _ATAN_P3) * c2 + _ATAN_P1) * c
+    a = jnp.where(big, a, jnp.float32(90.0) - a)
+    a = jnp.where(x < 0, jnp.float32(180.0) - a, a)
+    a = jnp.where(y < 0, jnp.float32(360.0) - a, a)
+    return a
+
+
+# Integer Q6 taps of OpenCV's fixed 7-tap small-sigma Gaussian
+# ([1/32, 7/64, 7/32, 9/32, ...] * 64) — all products/sums below 2^24 stay
+# exact in f32 banded matmuls at HIGHEST precision.
+_GAUSS7_Q6 = jnp.array([2.0, 7.0, 14.0, 18.0, 14.0, 7.0, 2.0], jnp.float32)
+
+
+def _replicate_pad2d(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, [(p, p), (p, p)], mode="edge")
+
+
+def _conv1d_exact(x: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """VALID 1-D conv like _conv1d but at HIGHEST precision: with integer
+    taps and integer-valued f32 inputs the result is exact integer f32."""
+    ax = x.ndim - 2 + axis
+    B = _band_matrix(x.shape[ax], taps)
+    x32 = x.astype(jnp.float32)
+    if ax == x.ndim - 1:
+        return jax.lax.dot_general(
+            x32, B, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out = jax.lax.dot_general(
+        x32, B, dimension_numbers=(((ax,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.swapaxes(out, -1, -2)
+
+
+def gaussian_blur7_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact cv::GaussianBlur(8U, 7x7, sigma 0, BORDER_REPLICATE):
+    exact-rational separable filter (Q6 integer taps, one Q12 accumulator)
+    rounded half-up to u8 at the end — OpenCV's fixed-point 8U path keeps
+    full precision through the separable passes and rounds once."""
+    x = _replicate_pad2d(img.astype(jnp.float32), 3)
+    acc = _conv1d_exact(_conv1d_exact(x, _GAUSS7_Q6, 1), _GAUSS7_Q6, 0)
+    return jnp.floor((acc + 2048.0) * (1.0 / 4096.0))
+
+
+def sobel3_replicate(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 Sobel dx, dy (CV_16S semantics, BORDER_REPLICATE) on integer-
+    valued f32 input; exact integer results."""
+    x = _replicate_pad2d(img.astype(jnp.float32), 1)
+    dx = _conv1d_exact(_conv1d_exact(x, _DERIV101, 1), _SMOOTH131, 0)
+    dy = _conv1d_exact(_conv1d_exact(x, _SMOOTH131, 1), _DERIV101, 0)
+    return dx, dy
+
+
 def quantize_color_gradient(
     rgb: jnp.ndarray, weak_threshold: float = 10.0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(H, W, C) uint8/float image -> (quantized bitmask u8, magnitude^2).
 
-    Per OpenCV ColorGradient::quantizedOrientations: blur each channel,
-    Sobel, keep the strongest channel's gradient per pixel, quantize the
-    0..360 angle into 16 bins folded to 8, then 3x3 hysteresis voting
-    (center magnitude^2 > weak_threshold^2, >= 5 of 9 neighbour agreement).
-    """
+    BIT-EXACT replica of OpenCV ColorGradient::quantizedOrientations +
+    hysteresisGradient (linemod.cpp): u8-rounded 7x7 Gaussian and 3x3 Sobel
+    with BORDER_REPLICATE, per-pixel strongest-channel select (first channel
+    wins ties, memory order), cv::fastAtan2 polynomial angles, half-even
+    convertTo into 16 bins folded to 8, 1-px border zeroing, then the 3x3
+    hysteresis vote (center magnitude^2 > weak_threshold^2, >= 5 of 9
+    agreement, first-max bin wins).  Verified bit-identical against the
+    genuine libopencv_rgbd engine in tests/test_oracle_parity.py."""
     img = rgb.astype(jnp.float32)
     if img.ndim == 2:
         img = img[..., None]
     C = img.shape[-1]
     dxs, dys, mags = [], [], []
     for c in range(C):
-        ch = gaussian_blur7(img[..., c])
-        dx, dy = sobel3(ch)
+        ch = gaussian_blur7_u8(img[..., c])
+        dx, dy = sobel3_replicate(ch)
         dxs.append(dx)
         dys.append(dy)
         mags.append(dx * dx + dy * dy)
     # Strongest channel per pixel WITHOUT gathers: take_along_axis lowers to
     # a pointwise gather that costs ~15 ms/frame on TPU; a where-chain with
-    # first-max-wins tie-breaking (argmax semantics) is a fused VPU pass.
+    # first-max-wins tie-breaking (OpenCV's channel-order if/else) is a
+    # fused VPU pass.
     mag2 = mags[0]
     for m in mags[1:]:
         mag2 = jnp.maximum(mag2, m)
@@ -144,21 +225,27 @@ def quantize_color_gradient(
         dx = jnp.where(hit, dxs[c], dx)
         dy = jnp.where(hit, dys[c], dy)
 
-    angle = jnp.degrees(jnp.arctan2(dy, dx))  # (-180, 180]
-    angle = jnp.where(angle < 0, angle + 360.0, angle)
-    bin16 = jnp.round(angle * (16.0 / 360.0)).astype(jnp.int32) & 15
-    bin8 = bin16 & 7
+    angle = fast_atan2_deg(dy, dx)
+    # convertTo(CV_8U, 16/360): float scale, round half to even, then the
+    # &15 wrap (16 -> 0) and the 16->8 fold (&7).
+    bin8 = (
+        jnp.round(angle * np.float32(16.0 / 360.0)).astype(jnp.int32) & 15
+    ) & 7
 
-    weak2 = weak_threshold * weak_threshold
+    weak2 = np.float32(weak_threshold) * np.float32(weak_threshold)
     strong_px = mag2 > weak2
 
+    # hysteresisGradient zeroes the 1-px border of the unfiltered bins BEFORE
+    # the vote — border pixels vote as bin 0 (replicated faithfully).
+    H, W = bin8.shape
+    interior = jnp.zeros((H, W), bool).at[1:-1, 1:-1].set(True)
+    bin8 = jnp.where(interior, bin8, 0)
+
     # 3x3 vote: one-hot planes box-filtered (9 static shifted adds, VPU);
-    # all 9 neighbours vote with their unfiltered quantized bin (OpenCV
-    # hysteresisGradient).
+    # all 9 neighbours vote with their unfiltered quantized bin.
     onehot = (bin8[None] == jnp.arange(8, dtype=jnp.int32)[:, None, None]).astype(
         jnp.int32
     )
-    H, W = bin8.shape
     oh_p = jnp.pad(onehot, [(0, 0), (1, 1), (1, 1)])
     votes = None
     for r in range(3):
@@ -167,7 +254,7 @@ def quantize_color_gradient(
             votes = s if votes is None else votes + s  # (8, H, W)
     max_votes = jnp.max(votes, axis=0)
     win = jnp.argmax(votes, axis=0)
-    ok = strong_px & (max_votes >= 5)
+    ok = strong_px & (max_votes >= 5) & interior
     quant = jnp.where(ok, (1 << win).astype(jnp.uint8), jnp.uint8(0))
     return quant, mag2
 

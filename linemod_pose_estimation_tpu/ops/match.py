@@ -1018,6 +1018,138 @@ def refine_candidates_pallas_batched(
     )
 
 
+@partial(jax.jit, static_argnames=(
+    "coarse_T", "fine_T", "E0", "total_hw", "use_pallas", "interpret"
+))
+def refine_candidates_opencv_batched(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int,
+    fine_T: int = 5,
+    total_hw: tuple[int, int] | None = None,
+    y_origin=0,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Matches:
+    """cv::linemod's EXACT local-refinement walk, vectorized over (B, K)
+    candidates — positions come out bit-identical to the genuine engine
+    (verified against the libopencv_rgbd oracle in tests/test_oracle_parity).
+
+    The walk (linemod matchClass, level-0 refinement pass):
+      x1 = cell_x*T1 + (T1/2 + T1%2 - 1)      # coarse candidate, level-1 px
+      x  = clamp(x1*2 + 1, 8*T0, W - tw - 8*T0)
+      score the template at the 16x16 stride-T0 placements
+          px = (x/T0 - 8 + c)*T0,  c in [0,16)   (same rows)
+      first STRICT max in row-major order wins (r then c ascending), and the
+      reported position is px + (T0/2 + T0%2 - 1).
+
+    Placements are stride-T0, so on a (C, H/T0, T0, W/T0, T0) reshape of the
+    response map one feature's 16x16 contributions are ONE contiguous
+    (16,1,16,1) block — a dynamic_slice per (candidate, feature) instead of
+    256 pointwise gathers; cheaper than the 24x24 dense window (256 vs 576
+    positions) while being reference-exact.
+
+    Row-sharded callers pass GLOBAL cell indices in `cand`, the global frame
+    dims as `total_hw`, and the global row of R0's first row as `y_origin`
+    (a multiple of fine_T): the walk then clamps against the GLOBAL borders
+    while reading the local stripe."""
+    B, C, H, W = R0.shape
+    K = cand.template_id.shape[1]
+    Fmax = feats0.oris.shape[1]
+    T = fine_T
+    WIN = 16  # OpenCV's fixed 16x16 local similarity map
+    off_c = coarse_T // 2 + (coarse_T % 2 - 1)
+    off_f = T // 2 + (T % 2 - 1)
+    border = 8 * T
+    Ht, Wt = total_hw if total_hw is not None else (H, W)
+
+    t = cand.template_id.reshape(-1)
+    sz = feats0.size[t]  # (BK, 2) = (h, w) at level 0
+    x = (cand.cell_x.reshape(-1) * coarse_T + off_c) * 2 + 1
+    y = (cand.cell_y.reshape(-1) * coarse_T + off_c) * 2 + 1
+    x = jnp.minimum(jnp.maximum(x, border), Wt - sz[:, 1] - border)
+    y = jnp.minimum(jnp.maximum(y, border), Ht - sz[:, 0] - border)
+    gx0 = jnp.maximum(x // T - 8, 0)
+    gy0 = jnp.maximum(y // T - 8, 0) - y_origin // T
+
+    offs = feats0.offsets[t]
+    oris = feats0.oris[t]
+    live = feats0.live[t]
+    cnt = feats0.count[t]
+
+    if use_pallas:
+        # Dead feature slots: zero offsets + out-of-range ori would read
+        # real data; instead force nf-masked accumulation (the kernel masks
+        # f >= nf), and nf == live count by construction.
+        from .pallas_kernels import walk_scores_pallas
+
+        fy = jnp.clip(offs[..., 0], 0, E0).reshape(B, K, Fmax)
+        fx = jnp.clip(offs[..., 1], 0, E0).reshape(B, K, Fmax)
+        scores = walk_scores_pallas(
+            R0, oris.reshape(B, K, Fmax), fy, fx,
+            cnt.reshape(B, K), gy0.reshape(B, K), gx0.reshape(B, K),
+            E0=E0, T=T, interpret=interpret,
+        )
+        flat = scores.reshape(B * K, -1)
+    else:
+        pad = ((E0 + WIN * T) // T + 1) * T
+        pad_h = pad + (-(H + pad)) % T  # reshape needs Hp, Wp % T == 0
+        pad_w = pad + (-(W + pad)) % T
+        Rp = jnp.pad(R0, [(0, 0), (0, 0), (0, pad_h), (0, pad_w)])
+        Hp, Wp = Rp.shape[2:]
+        Rr = Rp.reshape(B, C, Hp // T, T, Wp // T, T)
+        fi = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+
+        def slice_one(b, o, Y, ry, X, rx):
+            return jax.lax.dynamic_slice(
+                Rr, (b, o, Y, ry, X, rx), (1, 1, WIN, 1, WIN, 1)
+            ).reshape(WIN, WIN)
+
+        def body(acc, f):
+            fy = jnp.clip(offs[:, f, 0], 0, E0)
+            fx = jnp.clip(offs[:, f, 1], 0, E0)
+            vals = jax.vmap(slice_one)(
+                fi, oris[:, f], gy0 + fy // T, fy % T, gx0 + fx // T, fx % T
+            ).astype(jnp.int32)
+            return acc + jnp.where(live[:, f][:, None, None], vals, 0), None
+
+        acc0 = jnp.zeros((B * K, WIN, WIN), jnp.int32)
+        scores, _ = jax.lax.scan(body, acc0, jnp.arange(Fmax, dtype=jnp.int32))
+        flat = scores.reshape(B * K, -1)
+    best = jnp.argmax(flat, axis=1)  # first max == OpenCV's strict-> walk
+    raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))
+    ok = cand.valid.reshape(-1) & (sim >= threshold)
+    shp = lambda a: a.reshape(B, K)
+    return Matches(
+        template_id=shp(t),
+        x=shp(((gx0 + best % WIN) * T + off_f).astype(jnp.int32)),
+        y=shp(((gy0 + best // WIN) * T + off_f + y_origin).astype(jnp.int32)),
+        similarity=shp(sim),
+        valid=shp(ok),
+    )
+
+
+def refine_candidates_opencv(
+    R0: jnp.ndarray,
+    feats0: LevelFeatures,
+    cand: CoarseMatches,
+    coarse_T: int,
+    threshold: float,
+    E0: int,
+    fine_T: int = 5,
+) -> Matches:
+    """Single-frame wrapper over refine_candidates_opencv_batched."""
+    m = refine_candidates_opencv_batched(
+        R0[None], feats0, CoarseMatches(*(a[None] for a in cand)),
+        coarse_T, threshold, E0, fine_T,
+    )
+    return Matches(*(a[0] for a in m))
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def select_candidates_approx(
     raw: jnp.ndarray,

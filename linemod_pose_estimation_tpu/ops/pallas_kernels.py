@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -267,9 +268,149 @@ def refine_scores_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Kernel 3: survivor-position cell-patch gather (the pruned coarse GEMM's
-# im2col over surviving window positions only)
+# Kernel 2b: cv::linemod local-walk scoring (16x16 stride-T0 placements)
 # ---------------------------------------------------------------------------
+
+
+def _walk_kernel(Fmax: int, C: int, T: int, PR: int, PC: int, WR: int, Wp: int):
+    WIN = 16
+
+    def kernel(oris_ref, qys_ref, rys_ref, dxs_ref, meta_ref, R_hbm, sel_ref,
+               out_ref, frame, sem):
+        k = pl.program_id(0)
+
+        # The WHOLE phase-decomposed frame rides VMEM once per call (the
+        # caller issues one pallas_call per frame): zero per-candidate DMA.
+        @pl.when(k == 0)
+        def _():
+            b = meta_ref[3, 0]
+            dma = pltpu.make_async_copy(R_hbm.at[b], frame, sem)
+            dma.start()
+            dma.wait()
+
+        nf = meta_ref[0, k]
+        gy0 = meta_ref[1, k]
+        ax = meta_ref[2, k]  # placement-0 pixel column (gx0 * T)
+
+        acc = jnp.zeros((WIN, PC), jnp.int32)
+        for f in range(Fmax):
+            o = oris_ref[k, f]
+            qy = gy0 + qys_ref[k, f]  # grid row of the feature at placement 0
+            ry = rys_ref[k, f]  # row phase (dy % T)
+            s = ax + dxs_ref[k, f]  # feature pixel column at placement 0
+            ax128 = pl.multiple_of(
+                jnp.minimum((s // 128) * 128, Wp - PC), 128
+            )
+            qy32 = pl.multiple_of(
+                jnp.minimum((qy // 32) * 32, PR - WR), 32
+            )
+            slab = frame[ry, o, pl.ds(qy32, WR), pl.ds(ax128, PC)].astype(
+                jnp.int32
+            )
+            rows = pltpu.roll(slab, -(qy - qy32), 0)[:WIN, :]
+            rolled = pltpu.roll(rows, -(s - ax128), 1)
+            acc = acc + jnp.where(f < nf, rolled, 0)
+        # Placement columns live at lanes {0, T, 2T, ...}: extract the 16
+        # strided lanes with one tiny MXU dot against the 0/1 selector
+        # (values <= 4 * Fmax stay exact in f32).
+        out_ref[0, :, :] = jax.lax.dot_general(
+            acc.astype(jnp.float32), sel_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("E0", "T", "interpret"))
+def walk_scores_pallas(
+    R0: jnp.ndarray,  # (B, C, H, W) uint8 response maps
+    cand_oris: jnp.ndarray,  # (B, K, Fmax) int32
+    cand_dys: jnp.ndarray,  # (B, K, Fmax) int32 level-0 feature rows [0, E0]
+    cand_dxs: jnp.ndarray,  # (B, K, Fmax)
+    cand_nf: jnp.ndarray,  # (B, K)
+    gy0: jnp.ndarray,  # (B, K) grid row of placement (0, 0)
+    gx0: jnp.ndarray,  # (B, K) grid col
+    E0: int,
+    T: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raw cv::linemod walk scores (B, K, 16, 16) int32: placement (r, c)
+    scores the template at pixel ((gy0+r)*T, (gx0+c)*T).
+
+    Layout trick: rows are phase-decomposed into a (T, C, H/T, W) frame so
+    each feature's 16 strided placement rows are ONE contiguous sublane
+    slice; columns stay dense (a lane roll aligns placement c to lane c*T)
+    and the 16 strided lanes are extracted by a 0/1 selector dot.  The
+    frame is DMA'd to VMEM ONCE per pallas_call (one call per batch frame)
+    — no per-candidate DMA at all."""
+    B, C, H, W = R0.shape
+    K, Fmax = cand_oris.shape[1:]
+    WIN = 16
+    # Phase-major frame: (B, T, C, H/T, W).
+    Hp = _round_up(H, T)
+    R5 = jnp.pad(R0, [(0, 0), (0, 0), (0, Hp - H), (0, 0)])
+    R5 = R5.reshape(B, C, Hp // T, T, W).transpose(0, 3, 1, 2, 4)
+    # Placement pixel rows stay below H (the walk clamps against the global
+    # border), so grid rows reach at most (H-1)//T; the 32-aligned slab
+    # base tops out 32 below that.
+    WR = 64  # 32-align residual (< 32) + 16 placement rows, padded to 64
+    PR = _round_up(((Hp - 1) // T) // 32 * 32 + WR, 32)
+    # Lane window: 128-align residual (< 128) + the 16*T placement span;
+    # must be a power of two (Mosaic lane-rotate corrupts at other sizes —
+    # see refine_scores_pallas).  The lane base is re-aligned PER FEATURE
+    # ((ax + dx) // 128 * 128), so the window never depends on E0.
+    PC = 256
+    assert PC >= 128 + WIN * T
+    # Feature pixel columns stay below W (the walk clamps against the
+    # global border); the per-feature 128-aligned base needs PC of room.
+    Wp = ((max(W, 128) - 1) // 128) * 128 + PC
+    ax = (gx0 * T).reshape(B, K)
+    R5 = jnp.pad(R5, [(0, 0), (0, 0), (0, 0), (0, PR - R5.shape[3]),
+                      (0, Wp - W)]).astype(jnp.int8)
+
+    sel = np.zeros((PC, WIN), np.float32)
+    sel[np.arange(WIN) * T, np.arange(WIN)] = 1.0
+    sel = jnp.asarray(sel)
+
+    qys = cand_dys // T
+    rys = cand_dys % T
+    meta = jnp.stack(
+        [cand_nf.reshape(B, K),
+         gy0.reshape(B, K),
+         ax,
+         jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, K))],
+        axis=1,
+    ).astype(jnp.int32)  # (B, 4, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((PC, WIN), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, WIN, WIN), lambda k, *_: (k, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, C, PR, Wp), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = _walk_kernel(Fmax, C, T, PR, PC, WR, Wp)
+
+    outs = [
+        pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((K, WIN, WIN), jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(cand_oris[b], qys[b], rys[b], cand_dxs[b], meta[b], R5, sel)
+        for b in range(B)
+    ]
+    return jnp.stack(outs, axis=0)
 
 
 def _gather_patch_kernel(Kc: int, KP: int, CL: int):

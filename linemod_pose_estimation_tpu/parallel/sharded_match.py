@@ -191,29 +191,57 @@ def make_row_sharded_matcher(
     """
     n = mesh.shape[axis]
     halo1 = T1 * Kc1  # coarse-level rows a window may read past its anchor
-    halo0 = E0 + 32   # level-0 rows refinement may read past its anchor
-    UP = 2 * T1       # level-0 rows the refine window reaches ABOVE a
-    #   shard's first anchor (anchor = cell*2*T1 - (fine_T-1)); one coarse
-    #   cell of upward halo covers it
+    # Level-0 walk reach (cv::linemod local refinement): the window starts
+    # up to 8*T0 rows ABOVE the clamped anchor (plus up to E0 more when the
+    # bottom-border clamp pulls the anchor up) and ends 15*T0 + T0-1 + E0
+    # rows below it; halos rounded to multiples of T0 so the stride-T0
+    # reshape in the walk stays phase-aligned across the stripe seam.
+    UP = -(-(8 * T0 + E0) // T0) * T0
+    halo0 = -(-(16 * T0 + E0) // T0) * T0              # downward reach
 
     def local_match(R1_loc, R0_loc, W1, feats1, feats0):
         # R1_loc: (C, H1/n, W1); R0_loc: (C, H0/n, W0)
+        assert R0_loc.shape[1] % T0 == 0, (
+            "row stripes must be multiples of T0: the walk's stride-T0 "
+            "placement grid is phase-locked to global rows, so each "
+            "stripe's y_origin must land on the grid "
+            f"(H0/n = {R0_loc.shape[1]}, T0 = {T0})"
+        )
         idx = jax.lax.axis_index(axis)
-        perm = [(i, (i - 1) % n) for i in range(n)]  # send first rows DOWN
-        halo_r1 = jax.lax.ppermute(R1_loc[:, :halo1, :], axis, perm)
-        # Device n-1 receives device 0's top rows — wrong frame region; its
-        # stripe ends at the image edge, so its halo must be zeros.
-        halo_r1 = jnp.where(idx == n - 1, jnp.zeros_like(halo_r1), halo_r1)
-        R1x = jnp.concatenate([R1_loc, halo_r1], axis=1)
-        halo_r0 = jax.lax.ppermute(R0_loc[:, :halo0, :], axis, perm)
-        halo_r0 = jnp.where(idx == n - 1, jnp.zeros_like(halo_r0), halo_r0)
-        # Upward halo: refinement windows of a stripe's FIRST cell row start
-        # fine_T-1 px above the stripe (the single-device engine reads the
-        # previous rows there) — pull the previous shard's last UP rows.
-        perm_up = [(i, (i + 1) % n) for i in range(n)]  # send last rows UP
-        halo_up = jax.lax.ppermute(R0_loc[:, -UP:, :], axis, perm_up)
-        halo_up = jnp.where(idx == 0, jnp.zeros_like(halo_up), halo_up)
-        R0x = jnp.concatenate([halo_up, R0_loc, halo_r0], axis=1)
+
+        def pull_next_rows(X, rows):
+            """Rows immediately BELOW this stripe (multi-hop ppermute when
+            the halo exceeds one stripe); zeros past the frame bottom."""
+            parts, h, left = [], 1, rows
+            while left > 0:
+                take = min(left, X.shape[1])
+                perm = [(i, (i - h) % n) for i in range(n)]
+                nb = jax.lax.ppermute(X[:, :take, :], axis, perm)
+                parts.append(jnp.where(idx + h < n, nb, jnp.zeros_like(nb)))
+                left -= take
+                h += 1
+            return jnp.concatenate(parts, axis=1)
+
+        def pull_prev_rows(X, rows):
+            """Rows immediately ABOVE this stripe; zeros above the top."""
+            parts, h, left = [], 1, rows
+            while left > 0:
+                take = min(left, X.shape[1])
+                perm = [(i, (i + h) % n) for i in range(n)]
+                nb = jax.lax.ppermute(X[:, -take:, :], axis, perm)
+                parts.insert(0, jnp.where(idx - h >= 0, nb,
+                                          jnp.zeros_like(nb)))
+                left -= take
+                h += 1
+            return jnp.concatenate(parts, axis=1)
+
+        R1x = jnp.concatenate(
+            [R1_loc, pull_next_rows(R1_loc, halo1)], axis=1
+        )
+        R0x = jnp.concatenate(
+            [pull_prev_rows(R0_loc, UP), R0_loc,
+             pull_next_rows(R0_loc, halo0)], axis=1,
+        )
 
         Hc_loc = R1_loc.shape[1] // T1  # anchor cells owned by this shard
         raw = M.coarse_scores_gemm(R1x, W1, T1, Kc1)[:, :Hc_loc, :]
@@ -229,24 +257,23 @@ def make_row_sharded_matcher(
         cand = M.select_candidates(
             raw, feats1.count, vpos, max(threshold - coarse_margin, 0.0), top_k
         )
-        # Shift anchors by the UP halo (one coarse cell = 2*T1 level-0 rows);
-        # only the GLOBAL image top clips the anchor (device 0 at row UP).
-        cand_sh = M.CoarseMatches(
-            cand.template_id, cand.cell_y + 1, cand.cell_x,
+        # The walk runs in GLOBAL coordinates: candidates carry global cell
+        # rows, `total_hw` clamps against the global frame borders, and
+        # `y_origin` maps the stripe-local R0x rows back to global ones.
+        H0_loc = R0_loc.shape[1]
+        cand_gl = M.CoarseMatches(
+            cand.template_id,
+            cand.cell_y + idx * (H0_loc // (2 * T1)),
+            cand.cell_x,
             cand.similarity, cand.valid,
         )
-        ref = M.refine_candidates_slices(
-            R0x, feats0, cand_sh, T1, threshold, E0=E0, fine_T=T0,
-            anchor_min_y=jnp.where(idx == 0, UP, 0),
+        ref_b = M.refine_candidates_opencv_batched(
+            R0x[None], feats0, M.CoarseMatches(*(a[None] for a in cand_gl)),
+            T1, threshold, E0=E0, fine_T=T0,
+            total_hw=(H0_loc * n, R0_loc.shape[2]),
+            y_origin=idx * H0_loc - UP,
         )
-        # Re-base to global pixel rows (undo the UP halo shift).
-        ref = M.Matches(
-            template_id=ref.template_id,
-            x=ref.x,
-            y=ref.y - UP + idx * R0_loc.shape[1],
-            similarity=ref.similarity,
-            valid=ref.valid,
-        )
+        ref = M.Matches(*(a[0] for a in ref_b))
         merged = _merge_topk(
             M.Matches(*(a[None] for a in ref)), top_k, threshold, axis
         )
@@ -383,16 +410,10 @@ def make_ring_detect_step(
                     r, feats1.count, vpos, sel_thr, top_k, Wc
                 )
             )(raw)
-            if use_pallas_refine:
-                ref = M.refine_candidates_pallas_batched(
-                    R0, feats0, cand, T1, threshold, E0=E0, fine_T=T0
-                )
-            else:
-                ref = jax.vmap(
-                    lambda R0f, c: M.refine_candidates_slices(
-                        R0f, feats0, c, T1, threshold, E0=E0, fine_T=T0
-                    )
-                )(R0, cand)
+            ref = M.refine_candidates_opencv_batched(
+                R0, feats0, cand, T1, threshold, E0=E0, fine_T=T0,
+                use_pallas=use_pallas_refine,
+            )
             shard_id = jnp.mod(d - t, n)  # which shard this device holds now
             cat = lambda a, b: jnp.concatenate([a, b], axis=1)
             sims = cat(best.similarity, ref.similarity)
@@ -523,16 +544,10 @@ def make_sharded_detect_step(
                 )
             )(raw)
 
-        if use_pallas_refine:
-            ref = M.refine_candidates_pallas_batched(
-                R0, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0
-            )
-        else:
-            ref = jax.vmap(
-                lambda R0f, c: M.refine_candidates_slices(
-                    R0f, bank.feats0, c, T1, threshold, E0=E0, fine_T=T0
-                )
-            )(R0, cand)
+        ref = M.refine_candidates_opencv_batched(
+            R0, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0,
+            use_pallas=use_pallas_refine,
+        )
         mat = M.Matches(
             template_id=ref.template_id + shard * n_local,
             x=ref.x, y=ref.y, similarity=ref.similarity, valid=ref.valid,

@@ -58,13 +58,16 @@ def test_self_match_scores_100(trained):
     assert len(res) >= 1
     best = best_position(res)
     assert res.similarity[best] >= 99.0
-    # Match position = template bbox origin in the source image.
+    # Match position = template bbox origin in the source image; the
+    # cv::linemod walk reports on the T0 grid (+T0/2 offset), so the
+    # reference-exact bound is +-T0/2 = 2 px (the genuine engine behaves
+    # identically — tests/test_oracle_parity.py pins bit-equality).
     x0, y0, _, _ = det.template_rect0("obj", 0)
-    assert abs(int(res.x[best]) - x0) <= 1
-    assert abs(int(res.y[best]) - y0) <= 1
+    assert abs(int(res.x[best]) - x0) <= 2
+    assert abs(int(res.y[best]) - y0) <= 2
 
 
-def test_shifted_plant_found_within_1px(trained):
+def test_shifted_plant_found_within_grid_offset(trained):
     det, patch, (py, px) = trained
     x0, y0, _, _ = det.template_rect0("obj", 0)
     dy, dx = 13, -9  # arbitrary odd shifts
@@ -73,8 +76,9 @@ def test_shifted_plant_found_within_1px(trained):
     assert len(res) >= 1
     best = best_position(res)
     assert res.similarity[best] >= 97.0
-    assert abs(int(res.x[best]) - (x0 + dx)) <= 1
-    assert abs(int(res.y[best]) - (y0 + dy)) <= 1
+    # Reference-exact T0-grid reporting: within T0/2 = 2 px of the plant.
+    assert abs(int(res.x[best]) - (x0 + dx)) <= 2
+    assert abs(int(res.y[best]) - (y0 + dy)) <= 2
 
 
 def test_empty_frame_no_match(trained):

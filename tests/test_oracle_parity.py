@@ -113,14 +113,13 @@ def test_match_parity_identical_templates(tmp_path, rng):
         assert len(xyt) > 0 and len(ours) > 0, (sy, sx)
         ob = int(np.argmax(sim))
         ub = int(np.argmax(ours.similarity))
-        # Score parity: within 1 unit (BASELINE bar).
-        assert abs(float(sim[ob]) - float(ours.similarity[ub])) <= 1.0, (
+        # EXACT parity: bit-exact quantization + the replicated local
+        # refinement walk make both score and position identical.
+        assert float(sim[ob]) == float(ours.similarity[ub]), (
             sy, sx, float(sim[ob]), float(ours.similarity[ub]),
         )
-        # Position parity: both report a corner of the same quantization
-        # plateau; agreement bounded by T0 - 1 px per axis.
-        assert abs(int(xyt[ob][0]) - int(ours.x[ub])) <= 4, (sy, sx)
-        assert abs(int(xyt[ob][1]) - int(ours.y[ub])) <= 4, (sy, sx)
+        assert int(xyt[ob][0]) == int(ours.x[ub]), (sy, sx)
+        assert int(xyt[ob][1]) == int(ours.y[ub]), (sy, sx)
 
     # Miss agreement: an unrelated texture must stay sub-threshold for both.
     noise = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
@@ -156,6 +155,59 @@ def test_match_parity_own_extractions(rng):
     ub = int(np.argmax(ours.similarity))
     assert abs(int(xyt[ob][0]) - int(ours.x[ub])) <= 4
     assert abs(int(xyt[ob][1]) - int(ours.y[ub])) <= 4
+
+
+def test_exact_position_parity_shift_grid(tmp_path, rng):
+    """Bit-for-bit position/score parity over a 5x5 grid of sub-T0 plants
+    (covers every phase of the T0=5 report grid — the configuration that
+    used to land on different plateau corners).  VERDICT r3 item 5: px_delta
+    must be exactly 0 on identical inputs."""
+    from linemod_pose_estimation_tpu.models.detector import Detector
+
+    patch = textured_patch(rng)
+    rgb, mask = plant(patch, 60, 100)
+    o = ORC.LinemodOracle()
+    assert o.add_template(rgb, mask)[0] == 0
+    p = str(tmp_path / "bridge.yml")
+    o.write(p)
+    det = Detector.read(p)
+    cid = det.class_ids[0]
+
+    for dy in range(5):
+        for dx in range(5):
+            scene, _ = plant(patch, 60 + 7 + dy, 100 + 11 + dx)
+            xyt, sim = o.match(scene, 85.0)
+            ours = det.match(scene, 85.0)[cid]
+            assert len(xyt) > 0 and len(ours.x) > 0, (dy, dx)
+            ob = int(np.argmax(sim))
+            ub = int(np.argmax(ours.similarity))
+            assert (int(xyt[ob][0]), int(xyt[ob][1])) == (
+                int(ours.x[ub]), int(ours.y[ub])), (dy, dx)
+            assert float(sim[ob]) == float(ours.similarity[ub]), (dy, dx)
+
+
+def test_quantization_parity_color_exact(rng):
+    """The ColorGradient quantizer is BIT-EXACT vs the genuine engine on
+    blocky, smooth, and pure-noise images (u8-rounded replicate-border blur,
+    fastAtan2 polynomial, half-even convertTo, border-zeroed 3x3 vote)."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import features as F
+
+    o = ORC.LinemodOracle()
+    imgs = []
+    cells = rng.integers(0, 255, size=(30, 40, 3), dtype=np.uint8)
+    imgs.append(np.repeat(np.repeat(cells, 8, 0), 8, 1))
+    imgs.append(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
+    yy, xx = np.mgrid[0:H, 0:W]
+    imgs.append(np.stack([40 + 60 * yy / H + 30 * np.sin(xx / 20.0),
+                          80 + 50 * np.cos(yy / 15.0),
+                          120 + 40 * np.sin((xx + yy) / 25.0)],
+                         -1).astype(np.uint8))
+    for img in imgs:
+        q_cv = o.quantize(img)
+        q_us = np.asarray(F.quantize_color_gradient(jnp.asarray(img), 10.0)[0])
+        assert (q_cv == q_us).all()
 
 
 def test_quantization_parity_color(rng):

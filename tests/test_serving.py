@@ -65,7 +65,9 @@ def test_batched_matcher_consistent_with_single(rng):
         sims = np.asarray(m.similarity)[ok]
         assert sims.max() >= 99.0
         best = int(np.argmax(np.where(ok, np.asarray(m.similarity), -1.0)))
-        assert (int(m.x[best]), int(m.y[best])) == (rx0 + sx, ry0 + sy)
+        # T0-grid reporting (cv::linemod walk): within 2 px of the plant.
+        assert abs(int(m.x[best]) - (rx0 + sx)) <= 2
+        assert abs(int(m.y[best]) - (ry0 + sy)) <= 2
 
 
 def test_streaming_multicamera_batched_inference(rng):
@@ -116,4 +118,5 @@ def test_streaming_multicamera_batched_inference(rng):
             assert ok.any(), (step, b)
             best = int(np.argmax(np.where(ok, np.asarray(m.similarity), -1.0)))
             assert float(m.similarity[best]) >= 99.0
-            assert (int(m.x[best]), int(m.y[best])) == (rx0 + sx, ry0 + sy), (step, b)
+            assert abs(int(m.x[best]) - (rx0 + sx)) <= 2, (step, b)
+            assert abs(int(m.y[best]) - (ry0 + sy)) <= 2, (step, b)

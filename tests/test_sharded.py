@@ -140,12 +140,13 @@ def test_sharded_detect_equals_single_device(rng, mesh8):
     b0 = int(np.argmax(np.where(ok0, np.asarray(mat.similarity[0]), -1.0)))
     assert float(mat.similarity[0][b0]) >= 99.0
     assert (int(mat.x[0][b0]), int(mat.y[0][b0])) == (int(ref.x[rbest]), int(ref.y[rbest]))
-    # Frame 1: plant shifted by (-16, +8) from frame 0 -> match shifts too.
+    # Frame 1: plant shifted by (-16, +8) from frame 0 -> match shifts too
+    # (within the T0-grid reporting offset: the shift is not a multiple of
+    # T0, so the walk snaps to the nearest grid point <= 2 px away).
     ok1 = np.asarray(mat.valid[1])
     b1 = int(np.argmax(np.where(ok1, np.asarray(mat.similarity[1]), -1.0)))
-    assert (int(mat.x[1][b1]), int(mat.y[1][b1])) == (
-        int(ref.x[rbest]) - 16, int(ref.y[rbest]) + 8,
-    )
+    assert abs(int(mat.x[1][b1]) - (int(ref.x[rbest]) - 16)) <= 2
+    assert abs(int(mat.y[1][b1]) - (int(ref.y[rbest]) + 8)) <= 2
 
 
 def test_bank_padding_dead_templates(rng, mesh8):
@@ -204,7 +205,9 @@ def test_row_sharded_matcher_equals_single_device(rng, mesh8):
     )
 
     patch, mask = make_object_patch(rng)
-    H0, W0 = 256, 128
+    # Stripes must be multiples of both 2*T1 (coarse cells) and T0 (the
+    # walk's placement grid): H0/8 = 80 satisfies both.
+    H0, W0 = 640, 128
     src = plant((H0, W0, 3), patch, (150, 40))
     src_mask = plant((H0, W0), mask, (150, 40))
     det = Detector(DetectorParams(), engine="gather")
@@ -220,11 +223,11 @@ def test_row_sharded_matcher_equals_single_device(rng, mesh8):
         mesh8, "bank", T1, Kc1, top_k=8, threshold=90.0, T0=T0, E0=E0
     )
 
-    # Stripes are 64 level-0 rows (4 shards); probe plants that land mid-
+    # Stripes are 80 level-0 rows (8 shards); probe plants that land mid-
     # stripe, just ABOVE shard boundaries (the upward-halo case: the refine
     # window must read the previous shard's rows), and at the image top
     # (the global-clip case).
-    for (py, px) in [(150, 40), (60, 30), (125, 50), (188, 20), (0, 40)]:
+    for (py, px) in [(150, 40), (60, 30), (315, 50), (475, 20), (0, 40)]:
         scene = plant((H0, W0, 3), patch, (py, px))
         pyr = M.preprocess_frame(jnp.asarray(scene), None, T0=T0, T1=T1)
         R0 = jax.device_put(pyr.grad_r0, NamedSharding(mesh8, P(None, "bank")))
