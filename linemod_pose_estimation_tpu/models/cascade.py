@@ -435,6 +435,22 @@ def _transplanted_scene_mask(
     return jax.lax.dynamic_slice(canvas, (oy, ox), (H, W))
 
 
+def dilate_mask(mask: jnp.ndarray, px: int) -> jnp.ndarray:
+    """4-connected binary dilation by `px` pixels WITHOUT wraparound: a
+    jnp.roll formulation wraps at the array edges, so a mask clipped by the
+    window/frame border would admit pixels from the opposite edge (scene
+    points ~window-height away) into the ICP/HV scene set.  Pad-and-slice
+    never crosses the boundary."""
+    for _ in range(px):
+        p = jnp.pad(mask, 1)
+        mask = (
+            p[1:-1, 1:-1]
+            | p[:-2, 1:-1] | p[2:, 1:-1]
+            | p[1:-1, :-2] | p[1:-1, 2:]
+        )
+    return mask
+
+
 def _windowed_scene_extract(
     cloud: jnp.ndarray,  # (H, W, 3) organized scene cloud
     scene_normals: jnp.ndarray | None,  # (H, W, 3) or None
@@ -459,12 +475,7 @@ def _windowed_scene_extract(
     oy0 = jnp.clip(Y - pad // 2, 0, H - WH)
     ox0 = jnp.clip(X - pad // 2, 0, W - WW)
     win_mask = _transplanted_scene_mask_window(mask, rect, X, Y, oy0, ox0, WH, WW)
-    for _ in range(dilate_px):
-        win_mask = (
-            win_mask
-            | jnp.roll(win_mask, 1, 0) | jnp.roll(win_mask, -1, 0)
-            | jnp.roll(win_mask, 1, 1) | jnp.roll(win_mask, -1, 1)
-        )
+    win_mask = dilate_mask(win_mask, dilate_px)
     cloud_w = jax.lax.dynamic_slice(cloud, (oy0, ox0, jnp.int32(0)), (WH, WW, 3))
     sel = win_mask & jnp.all(jnp.isfinite(cloud_w), axis=-1)
     if scene_normals is None:

@@ -87,6 +87,16 @@ class DetectionPipeline:
             ],
             jnp.float32,
         )
+        # Sensor-frame intrinsics (unscaled): the organized scene cloud is
+        # frame-sized, so its normals must NOT use K_render's focals.
+        self.K_frame = jnp.array(
+            [
+                [globals_.focal_length_x, 0, globals_.width / 2.0],
+                [0, globals_.focal_length_y, globals_.height / 2.0],
+                [0, 0, 1.0],
+            ],
+            jnp.float32,
+        )
 
         # Device-side bank metadata.
         self.q_bank = jnp.asarray(
@@ -117,7 +127,12 @@ class DetectionPipeline:
                 depth_mm = jnp.where(
                     jnp.isfinite(cloud[..., 2]), cloud[..., 2], 0.0
                 ) * 1000.0
-                scene_normals = depth_normals(depth_mm, K_render)
+                # FRAME-scale intrinsics, not K_render: the organized cloud
+                # is sensor-sized, and K_render's focal lengths are scaled
+                # by render_size/globals.width — using them here would
+                # silently tilt every scene normal when render_size differs
+                # from the sensor frame.
+                scene_normals = depth_normals(depth_mm, self.K_frame)
             else:
                 scene_normals = None
             clusters = CC.cluster_matches(
@@ -135,12 +150,19 @@ class DetectionPipeline:
                 # Defer suppression: pose + verify every top cluster first,
                 # then IoU-suppress ranked by occupancy (a symmetric flip
                 # can out-score the true orientation but not out-verify it).
+                # A loose pre-pose NMS would wrongly kill the flips (same
+                # location, IoU ~1), so instead DOUBLE the pose slots: raw
+                # match score alone ranks the truncation here, and several
+                # near-duplicate clusters of one strong object must not
+                # crowd a weaker second instance out of every slot.
                 keep = clusters.valid
+                n_slots = 2 * p.max_clusters
             else:
                 keep = CC.nms_iou(clusters, p.iou_threshold)
+                n_slots = p.max_clusters
             alive = clusters.valid & keep
             # Top clusters by score.
-            order = jnp.argsort(-jnp.where(alive, clusters.score, -jnp.inf))[: p.max_clusters]
+            order = jnp.argsort(-jnp.where(alive, clusters.score, -jnp.inf))[:n_slots]
             c_valid = alive[order]
             c_score = clusters.score[order]
             midx = clusters.member_idx[order]  # (C, M)

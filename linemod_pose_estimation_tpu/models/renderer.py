@@ -48,7 +48,19 @@ def _pad_triangles(tris: np.ndarray, chunk: int) -> np.ndarray:
     return tris
 
 
-@partial(jax.jit, static_argnames=("width", "height", "chunk"))
+def _use_pallas_raster_default() -> bool:
+    """Auto-route rasterization through the Pallas kernel on TPU backends.
+
+    The bbox-windowed kernel (ops.pallas_raster) produces bit-identical
+    depth/mask at ~40x less work than the brute-force scan; CPU keeps the
+    XLA path (interpret-mode pallas is orders of magnitude slower)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("width", "height", "chunk", "use_pallas"))
 def render(
     triangles: jnp.ndarray,
     R: jnp.ndarray,
@@ -58,6 +70,7 @@ def render(
     height: int,
     chunk: int = 64,
     coverage_grow: float = 0.5,
+    use_pallas: bool | None = None,
 ) -> RenderOutput:
     """Rasterize `triangles` (Tn, 3, 3 — pad count to a multiple of `chunk`)
     under pose (R, T_bank) and intrinsics K.
@@ -69,6 +82,15 @@ def render(
     exact silhouette); 0.5 px of growth reproduces its bounding boxes."""
     Tn = triangles.shape[0]
     assert Tn % chunk == 0, "pad triangle count to a multiple of chunk"
+    if use_pallas is None:
+        use_pallas = _use_pallas_raster_default()
+    if use_pallas:
+        from ..ops.pallas_raster import raster_zbuffer_pallas
+
+        zbuf, sbuf = raster_zbuffer_pallas(
+            triangles, R, T_bank, K, width, height, coverage_grow
+        )
+        return _postprocess(zbuf, sbuf, width, height)
 
     # Object -> camera.
     v_cam = (triangles + T_bank[None, None, :]) @ R.T  # (Tn, 3, 3)
@@ -155,7 +177,12 @@ def render(
     sbuf0 = jnp.zeros((height, width), jnp.float32)
     starts = jnp.arange(0, Tn, chunk, dtype=jnp.int32)
     (zbuf, sbuf), _ = jax.lax.scan(rasterize_chunk, (zbuf0, sbuf0), starts)
+    return _postprocess(zbuf, sbuf, width, height)
 
+
+def _postprocess(zbuf: jnp.ndarray, sbuf: jnp.ndarray, width: int,
+                 height: int) -> RenderOutput:
+    """z/shade buffers -> depth_mm, mask, flat-shaded rgb, tight bbox."""
     hit = jnp.isfinite(zbuf)
     depth_mm = jnp.where(hit, zbuf * 1000.0, 0.0)
     mask = jnp.where(hit, jnp.uint8(255), jnp.uint8(0))

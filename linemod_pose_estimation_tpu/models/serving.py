@@ -224,7 +224,7 @@ def template_refinement(
     `viewport`: centered re-render window (the object projects at the
     principal point; see CascadeParams.render_viewport).  0 = full frame."""
     from .renderer import render as render_fn
-    from .cascade import _transplanted_scene_mask, _compact_points
+    from .cascade import _transplanted_scene_mask, _compact_points, dilate_mask
 
     rw, rh = render_wh
     if viewport and viewport < min(rw, rh):
@@ -248,12 +248,8 @@ def template_refinement(
     smask = _transplanted_scene_mask(
         out.mask, out.rect, jnp.asarray(x + bias_x), jnp.asarray(y), H, W
     )
-    for _ in range(2):  # keep the full outline despite the match-px plateau
-        smask = (
-            smask
-            | jnp.roll(smask, 1, 0) | jnp.roll(smask, -1, 0)
-            | jnp.roll(smask, 1, 1) | jnp.roll(smask, -1, 1)
-        )
+    # keep the full outline despite the match-px plateau (no-wrap dilation)
+    smask = dilate_mask(smask, 2)
     ssel = smask & jnp.all(jnp.isfinite(cloud), axis=-1)
     scene_pts, scene_valid = _compact_points(cloud.reshape(-1, 3), ssel.reshape(-1), scene_cap)
 
