@@ -76,14 +76,10 @@ class BatchedMatcher:
         thr, top_k = self.threshold, self.top_k
         use_depth = self.use_depth
 
-        def _pre(rgb, depth_mm):
-            pyr = M.preprocess_frame(
-                rgb, depth_mm, T0=T0, T1=T1, use_depth=use_depth,
-                weak_threshold=self.weak,
-            )
-            return M.stack_modalities(pyr, use_depth)
-
-        self._pre = jax.jit(jax.vmap(_pre))
+        pq = jax.default_backend() != "cpu"
+        self._pre = jax.jit(lambda rgbs, depths: M.preprocess_frames_batched(
+            rgbs, depths, T0=T0, T1=T1, use_depth=use_depth,
+            weak_threshold=self.weak, use_pallas_quant=pq))
         # Position-major (Hc*Wc, N) scores: full-lane-width elementwise ops.
         self._coarse = jax.jit(
             lambda Rb, W: M.coarse_scores_gemm_flat_batched(Rb, W, T1, Kc1)
@@ -190,6 +186,117 @@ class BatchedMatcher:
         """match_batch, unstacked to per-frame Matches records."""
         m = self.match_batch(rgbs, depths_mm)
         return [M.Matches(*(a[b] for a in m)) for b in range(rgbs.shape[0])]
+
+
+class MultiClassBatchedMatcher:
+    """One merged pipeline for SEVERAL object classes per frame batch.
+
+    cv::linemod's Detector::match scores all class_ids in one call
+    (rgbdDetector.cpp:31-34 passes the full detector); the reference's
+    two-object Ensenso service (SURVEY.md C18) alternates two single-class
+    detectors and pays preprocess, the prune bound, and patch assembly
+    once PER CLASS even though none of them depend on the bank.  Here the
+    classes' template axes are concatenated (ops.match.concat_level_features)
+    so one preprocess -> one prune -> one survivor GEMM -> one Pallas
+    refinement dispatch serves every class; only the (cheap) candidate
+    selection runs per class, with per-class thresholds.
+
+    Exactness matches the per-class BatchedMatcher(prune=True) bit for bit
+    (tests/test_multiclass.py): the prune bound runs at min(thresholds), so
+    its survivor set is a superset for every class, and the in-graph
+    exhaustive fallback fires on overflow exactly as in the single-class
+    path.
+    """
+
+    def __init__(self, detector, class_ids: list[str], thresholds,
+                 batch: int, top_k: int = 256, prune_pos_cap: int = 256):
+        if isinstance(thresholds, (int, float)):
+            thresholds = [float(thresholds)] * len(class_ids)
+        assert len(thresholds) == len(class_ids)
+        p = detector.params
+        self.class_ids = list(class_ids)
+        self.thresholds = [float(t) for t in thresholds]
+        self.T0, self.T1 = p.t_pyramid
+        self.top_k = top_k
+        self.batch = batch
+        self.use_depth = p.use_depth_normal
+        self.weak = p.color.weak_threshold
+        self.prune_pos_cap = prune_pos_cap
+        self.last_prune = None
+
+        banks = [detector.bank(c) for c in class_ids]
+        self.Kc1 = max(b.max_cell_extent(1) for b in banks)
+        self.E0 = max(b.extent(0) for b in banks)
+        f1, bases = M.concat_level_features([b.merged_features(1) for b in banks])
+        f0, bases0 = M.concat_level_features([b.merged_features(0) for b in banks])
+        assert bases == bases0
+        self.feats1, self.feats0 = f1, f0
+        n_total = int(f1.count.shape[0])
+        self.slices = tuple(
+            (bases[i], bases[i + 1] if i + 1 < len(bases) else n_total)
+            for i in range(len(bases))
+        )
+        C = 16 if self.use_depth else 8
+        self.W1 = M.build_gemm_weights(f1, C, self.T1, self.Kc1)
+        self.W_cell = M.build_cell_weights(f1, C, self.T1, self.Kc1)
+        self._build()
+
+    def _build(self):
+        T0, T1, Kc1, E0 = self.T0, self.T1, self.Kc1, self.E0
+        use_depth = self.use_depth
+        sel_thrs = tuple(t - 5.0 for t in self.thresholds)
+        thr_min = min(self.thresholds)
+        top_k, m_cap = self.top_k, self.prune_pos_cap
+
+        pallas = jax.default_backend() != "cpu"
+        self._pre = jax.jit(lambda rgbs, depths: M.preprocess_frames_batched(
+            rgbs, depths, T0=T0, T1=T1, use_depth=use_depth,
+            weak_threshold=self.weak, use_pallas_quant=pallas))
+
+        def _match_mc(Rb, W_gemm, W_cell, f1, Hc, Wc):
+            vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+            return M.match_coarse_pruned_multiclass(
+                Rb, W_gemm, W_cell, f1.count, vpos, self.slices, sel_thrs,
+                T1, Kc1, m_cap, top_k, Wc, use_pallas=pallas,
+            )
+
+        self._match_mc = jax.jit(_match_mc, static_argnames=("Hc", "Wc"))
+        # One refinement dispatch over the CONCATENATED candidates of all
+        # classes, gated at the loosest threshold; per-class thresholds
+        # re-gate the output below.
+        self._refine = jax.jit(
+            lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+                R0, f0, cand, T1, thr_min, E0=E0, fine_T=T0,
+                use_pallas=pallas,
+            )
+        )
+
+    def match_batch(self, rgbs, depths_mm=None) -> dict[str, M.Matches]:
+        """(B, H, W, 3) uint8 [+ (B, H, W) mm] -> {class_id: Matches} with
+        (B, top_k) arrays, template ids re-based per class."""
+        if self.use_depth:
+            R0, R1 = self._pre(rgbs, depths_mm)
+        else:
+            R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
+        Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
+        cands, pr = self._match_mc(R1, self.W1, self.W_cell, self.feats1,
+                                   Hc, Wc)
+        self.last_prune = pr
+        cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
+                                for a in zip(*cands)))
+        m = self._refine(R0, cat, self.feats0)
+        out = {}
+        K = self.top_k
+        for i, cid in enumerate(self.class_ids):
+            lo, hi = self.slices[i]
+            sl = lambda a: a[:, i * K:(i + 1) * K]
+            out[cid] = M.Matches(
+                x=sl(m.x), y=sl(m.y),
+                template_id=sl(m.template_id) - lo,
+                similarity=sl(m.similarity),
+                valid=sl(m.valid) & (sl(m.similarity) >= self.thresholds[i]),
+            )
+        return out
 
 
 def look_at_point(cloud: jnp.ndarray, rect_xywh, cap: int = 256) -> jnp.ndarray:

@@ -738,6 +738,107 @@ def match_coarse_pruned_with_fallback(
     return cands, pp
 
 
+def concat_level_features(feats_list: list[LevelFeatures]) -> tuple[LevelFeatures, tuple[int, ...]]:
+    """Merge several classes' LevelFeatures into ONE template axis.
+
+    cv::linemod's Detector::match scores every class in one call
+    (linemod.cpp Detector::match over class_ids; the reference's two-object
+    service alternates two single-class detectors and pays preprocess +
+    patch assembly + the prune bound twice).  Merging the template axes
+    lets one preprocess + one prune + one GEMM + one refinement dispatch
+    serve all classes; per-class selection slices the shared score tensor.
+
+    Returns (merged, bases): bases[i] = first template row of class i
+    (class i owns rows [bases[i], bases[i+1])); subtract to re-base ids.
+    """
+    fmax = max(int(f.oris.shape[1]) for f in feats_list)
+
+    def padf(a, F):
+        return jnp.pad(a, [(0, 0), (0, fmax - F)] + [(0, 0)] * (a.ndim - 2))
+
+    bases, off = [], 0
+    for f in feats_list:
+        bases.append(off)
+        off += int(f.oris.shape[0])
+    merged = LevelFeatures(
+        offsets=jnp.concatenate([padf(f.offsets, f.offsets.shape[1]) for f in feats_list]),
+        oris=jnp.concatenate([padf(f.oris, f.oris.shape[1]) for f in feats_list]),
+        live=jnp.concatenate([padf(f.live, f.live.shape[1]) for f in feats_list]),
+        count=jnp.concatenate([f.count for f in feats_list]),
+        size=jnp.concatenate([f.size for f in feats_list]),
+    )
+    return merged, tuple(bases)
+
+
+@partial(jax.jit, static_argnames=(
+    "class_slices", "thresholds", "T", "Kc", "m_cap", "top_k", "Wc",
+    "use_pallas", "interpret"
+))
+def match_coarse_pruned_multiclass(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    class_slices: tuple[tuple[int, int], ...],
+    thresholds: tuple[float, ...],
+    T: int,
+    Kc: int,
+    m_cap: int,
+    top_k: int,
+    Wc: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> tuple[list[CoarseMatches], PrunePlan]:
+    """Multi-class twin of match_coarse_pruned_with_fallback over a MERGED
+    bank (concat_level_features): ONE prune (at min(thresholds), so the
+    survivor set is a superset for every class — still exact), ONE survivor
+    GEMM over the merged template axis, then a per-class selection that
+    masks the other classes' score columns.  In-graph exhaustive fallback
+    on survivor overflow, exactly like the single-class path.
+
+    Returns ([CoarseMatches per class], PrunePlan)."""
+    N = W_gemm.shape[1]
+    thr_min = min(thresholds)
+    pp = prune_positions_batched(
+        Rb, W_cell, total_features, vpos_flat, thr_min, T, Kc, m_cap
+    )
+    cls_cols = []
+    for (lo, hi) in class_slices:
+        col = jnp.zeros((N,), bool).at[lo:hi].set(True)
+        cls_cols.append(col)
+
+    def _pruned(_):
+        raw = coarse_scores_gemm_flat_batched_pos(
+            Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        out = []
+        for col, thr_c in zip(cls_cols, thresholds):
+            out.append(jax.vmap(
+                lambda r, pi, pk: select_candidates_flat_pos(
+                    r, total_features, vpos_flat & col[None, :], pi, pk,
+                    thr_c, top_k, Wc
+                )
+            )(raw, pp.p_idx, pp.p_keep))
+        return out
+
+    def _exhaustive(_):
+        raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
+        out = []
+        for col, thr_c in zip(cls_cols, thresholds):
+            out.append(jax.vmap(
+                lambda r: select_candidates_flat(
+                    r, total_features, vpos_flat & col[None, :], thr_c,
+                    top_k, Wc
+                )
+            )(raw))
+        return out
+
+    cands = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
+    return cands, pp
+
+
 @partial(jax.jit, static_argnames=("T", "Kc"))
 def coarse_scores_gemm_flat_batched_sub(
     Rb: jnp.ndarray, W_rows: jnp.ndarray, idx: jnp.ndarray, T: int, Kc: int
@@ -1440,3 +1541,60 @@ def preprocess_frame(
         n_r0 = jnp.zeros_like(g_r0)
         n_r1 = jnp.zeros_like(g_r1)
     return FramePyramid(g_r0, g_r1, n_r0, n_r1)
+
+
+@partial(jax.jit, static_argnames=(
+    "T0", "T1", "use_depth", "weak_threshold", "use_pallas_quant"
+))
+def preprocess_frames_batched(
+    rgbs: jnp.ndarray,  # (B, H, W, 3) uint8
+    depths_mm: jnp.ndarray | None,  # (B, H, W) f32 or None
+    T0: int = 5,
+    T1: int = 8,
+    use_depth: bool = False,
+    weak_threshold: float = 10.0,
+    use_pallas_quant: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched preprocess -> channel-stacked (R0, R1) response tensors
+    ((B, C, H, W), (B, C, H/2, W/2); C = 16 with DepthNormal, else 8).
+
+    `use_pallas_quant` routes the ColorGradient quantizer (the measured
+    preprocess hotspot, ~2/3 of the chain) through the fused VMEM kernel
+    (ops.pallas_preprocess.quantize_color_gradient_pallas, bit-identical,
+    TPU only); everything else — pyrDown, DepthNormal, spread/response —
+    stays on the XLA formulations, which fuse well under vmap.
+    """
+    if not use_pallas_quant:
+        return jax.vmap(
+            lambda r, d: stack_modalities(
+                preprocess_frame(r, d, T0=T0, T1=T1, use_depth=use_depth,
+                                 weak_threshold=weak_threshold),
+                use_depth,
+            )
+        )(rgbs, depths_mm if depths_mm is not None
+          else jnp.zeros(rgbs.shape[:3], jnp.float32))
+
+    from .pallas_preprocess import quantize_color_gradient_pallas
+
+    respond = lambda q, T: F.response_maps(F.orientation_spread(q, T))
+    q0 = quantize_color_gradient_pallas(rgbs, weak_threshold)
+    g_r0 = jax.vmap(lambda q: respond(q, T0))(q0)
+    rgb1 = jax.vmap(
+        lambda rgb: jnp.stack(
+            [F.pyr_down(rgb[..., c].astype(jnp.float32)) for c in range(3)],
+            axis=-1,
+        )
+    )(rgbs)
+    q1 = quantize_color_gradient_pallas(rgb1, weak_threshold)
+    g_r1 = jax.vmap(lambda q: respond(q, T1))(q1)
+    if use_depth and depths_mm is not None:
+        n_r0 = jax.vmap(lambda d: respond(F.quantize_depth_normal(d), T0))(
+            depths_mm)
+        n_r1 = jax.vmap(
+            lambda d: respond(F.quantize_depth_normal(d[::2, ::2]), T1)
+        )(depths_mm)
+        return (
+            jnp.concatenate([g_r0, n_r0], axis=1),
+            jnp.concatenate([g_r1, n_r1], axis=1),
+        )
+    return g_r0, g_r1

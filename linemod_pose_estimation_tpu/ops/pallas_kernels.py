@@ -45,13 +45,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _spread_response_kernel(T: int, TH: int, W: int, halo: int):
+def _spread_response_kernel(T: int, TH: int, W: int, halo: int,
+                            batched: bool = False):
     def kernel(q_hbm, out_ref, q_tile, sem):
-        i = pl.program_id(0)
+        i = pl.program_id(1 if batched else 0)
         # DMA this row stripe + halo from HBM.  Stripes overlap by T-1 rows
         # (BlockSpec index maps can't express overlap); offsets/sizes are
         # (8, 128)-aligned for Mosaic's memref slicing.
-        dma = pltpu.make_async_copy(q_hbm.at[pl.ds(i * TH, halo), :], q_tile, sem)
+        src = q_hbm.at[pl.program_id(0)] if batched else q_hbm
+        dma = pltpu.make_async_copy(src.at[pl.ds(i * TH, halo), :], q_tile, sem)
         dma.start()
         dma.wait()
 
@@ -101,6 +103,39 @@ def spread_response(
         interpret=interpret,
     )(qp)
     return out[:, :H, :].astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("T", "tile_h", "interpret"))
+def spread_response_batched(
+    quant: jnp.ndarray, T: int, tile_h: int = 64, interpret: bool = False
+) -> jnp.ndarray:
+    """(B, H, W) uint8 bitmasks -> (B, 8, H, W) uint8 response maps.
+
+    Explicit batch twin of spread_response: vmap cannot batch the
+    HBM-resident (memory_space=ANY) input, so the batch rides grid axis 0
+    and each step DMAs its own frame's stripe."""
+    B, H, W = quant.shape
+    grid_h = -(-H // tile_h)
+    halo = _round_up(tile_h + T - 1, 8)
+    Hp = (grid_h - 1) * tile_h + halo
+    Wp = _round_up(W + T - 1, 128)
+    qp = jnp.pad(quant, [(0, 0), (0, Hp - H), (0, Wp - W)]).astype(jnp.int32)
+    out = pl.pallas_call(
+        _spread_response_kernel(T, tile_h, W, halo, batched=True),
+        out_shape=jax.ShapeDtypeStruct((B, 8, grid_h * tile_h, W), jnp.int8),
+        grid=(B, grid_h),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (None, 8, tile_h, W), lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((halo, Wp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(qp)
+    return out[:, :, :H, :].astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

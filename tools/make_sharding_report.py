@@ -1,0 +1,166 @@
+"""Reference-scale virtual-mesh sharding artifact (SHARDING.json).
+
+Runs the PRODUCTION sharded detect step (parallel.sharded_match.
+make_sharded_detect_step, prune="positions") on the committed real
+trained bank tiled to 10k+ templates, over a data=2 x bank=4 mesh of 8
+virtual host devices, and records the scale-out math the 1000-fps story
+leans on: per-shard template counts, per-shard array bytes (the GEMM
+weight shard is the big one), per-shard survivor-GEMM shapes, and the
+ICI collective payload (all-gather of O(top_k) match records + scalar
+psums) — the wire traffic is independent of bank size.
+
+Usage (from the repo root):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python tools/make_sharding_report.py
+"""
+
+import gzip
+import json
+import os
+import shutil
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from linemod_pose_estimation_tpu.models.detector import Detector  # noqa: E402
+from linemod_pose_estimation_tpu.models.templates import TemplateBank  # noqa: E402
+from linemod_pose_estimation_tpu.ops import match as M  # noqa: E402
+from linemod_pose_estimation_tpu.parallel.sharded_match import (  # noqa: E402
+    make_sharded_bank, make_sharded_detect_step,
+)
+
+
+def _gunzip(stem):
+    tpl_gz = os.path.join(REPO, "data", f"{stem}_templates.yml.gz")
+    prm_gz = os.path.join(REPO, "data", f"{stem}_params.yml.gz")
+    if not (os.path.exists(tpl_gz) and os.path.exists(prm_gz)):
+        return None, None
+    tpl, prm = f"/tmp/shard_{stem}_t.yml", f"/tmp/shard_{stem}_p.yml"
+    for src, dst in ((tpl_gz, tpl), (prm_gz, prm)):
+        if not os.path.exists(dst):
+            with gzip.open(src, "rb") as f, open(dst, "wb") as g:
+                shutil.copyfileobj(f, g)
+    return tpl, prm
+
+
+def _tile(f, reps, pad_to):
+    cat = lambda a: np.concatenate([np.asarray(a)] * reps, axis=0)
+    offs, oris, live, cnt, size = (cat(a) for a in f)
+    pad = pad_to - offs.shape[0]
+    z = lambda a: np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+    return M.LevelFeatures(
+        jnp.asarray(z(offs)), jnp.asarray(z(oris)), jnp.asarray(z(live) & True),
+        jnp.asarray(z(cnt)),
+        jnp.asarray(np.pad(size, [(0, pad), (0, 0)], constant_values=10**6)),
+    )
+
+
+def main():
+    for stem in ("boxNew_rgbd", "boxNew_full"):
+        tpl, prm = _gunzip(stem)
+        if tpl:
+            break
+    det = Detector.read(tpl)
+    bank = det.bank(det.class_ids[0])
+    p = det.params
+    T0, T1 = p.t_pyramid
+    Kc1 = bank.max_cell_extent(1)
+    E0 = bank.extent(0)
+    use_depth = p.use_depth_normal
+    C = 16 if use_depth else 8
+    n0 = bank.num_templates
+    reps = max(1, -(-10240 // n0))
+    N = ((n0 * reps + 127) // 128) * 128
+    feats1 = _tile(bank.merged_features(1), reps, N)
+    feats0 = _tile(bank.merged_features(0), reps, N)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "bank"))
+    sb = make_sharded_bank(mesh, feats1, feats0, C=C, T1=T1, Kc1=Kc1)
+
+    B, H, W = 2, 480, 640
+    top_k, thr, m_cap = 128, 91.0, 64
+    step = make_sharded_detect_step(
+        mesh, T1, Kc1, top_k, thr, T0=T0, E0=E0, use_depth=use_depth,
+        weak_threshold=p.color.weak_threshold, prune=True,
+        prune_pos_cap=m_cap, prune_mode="positions", use_pallas_refine=False,
+    )
+    rng = np.random.default_rng(0)
+    rgbs = jnp.asarray(rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8))
+    depths = jnp.asarray(
+        (900 + rng.normal(scale=20, size=(B, H, W))).astype(np.float32))
+    matches, metrics = step(rgbs, depths, sb)
+    jax.block_until_ready(matches)
+
+    n_bank = mesh.shape["bank"]
+    n_data = mesh.shape["data"]
+    N_pad = sb.feats1.oris.shape[0]
+    n_local = N_pad // n_bank
+    Hc, Wc = H // 2 // T1, W // 2 // T1
+    K_dim = C * T1 * T1 * Kc1 * Kc1
+    shard_bytes = {
+        "W1_rows_int8": int(n_local * K_dim),
+        "W_cell_int8": int(n_local * (Kc1 * Kc1 * C)),
+        "feats1_feats0": int(sum(
+            np.asarray(a).nbytes for a in sb.feats1) // n_bank
+            + sum(np.asarray(a).nbytes for a in sb.feats0) // n_bank),
+    }
+    # ICI wire per step: all-gather of per-shard refined Matches over the
+    # bank axis (every shard sends its (B_local, top_k) records), then
+    # scalar psums.  Independent of N.
+    B_local = B // n_data
+    rec_bytes = 4 * 4 + 1  # t, x, y int32 + sim f32 + valid bool
+    allgather_bytes = B_local * top_k * rec_bytes * (n_bank - 1)
+    report = {
+        "bank_file": os.path.basename(tpl),
+        "modalities": "RGB-D" if use_depth else "RGB",
+        "templates_total": int(N_pad),
+        "mesh": {"data": n_data, "bank": n_bank},
+        "templates_per_shard": int(n_local),
+        "per_shard_bytes": shard_bytes,
+        "per_shard_survivor_gemm": {
+            "patches": [B_local, m_cap, K_dim],
+            "weights": [K_dim, n_local],
+            "out": [B_local, m_cap, n_local],
+            "int8_macs": int(B_local * m_cap * K_dim * n_local),
+        },
+        "per_shard_prune_bound_gemm": {
+            "patches": [B_local * Hc * Wc, Kc1 * Kc1 * C],
+            "weights": [n_local, Kc1 * Kc1 * C],
+            "int8_macs": int(B_local * Hc * Wc * Kc1 * Kc1 * C * n_local),
+        },
+        "ici_bytes_per_step": {
+            "matches_all_gather_per_device": int(allgather_bytes),
+            "metrics_psum": 8,
+            "note": "O(top_k) records/frame; independent of bank size N",
+        },
+        "step_output": {
+            "num_matches": int(np.asarray(metrics["num_matches"])),
+            "best_similarity": float(np.asarray(metrics["best_similarity"])),
+            "shape": list(np.asarray(matches.similarity).shape),
+        },
+    }
+    out = os.path.join(REPO, "SHARDING.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
