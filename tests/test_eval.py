@@ -56,13 +56,14 @@ def test_accuracy_clean_synthetic_within_1px_1deg(setup, tmp_path):
     s = EV.summarize(mcases, pcases)
 
     assert s["match"]["found_rate"] == 1.0
-    # Median landing is sub-pixel; the tail is bounded by the orientation-
-    # spreading plateau (equal-score positions within T-1 px exist in the
-    # quantized representation itself — OpenCV's engine has the same
-    # ambiguity, it just reports a different plateau corner).
-    assert s["match"]["px_err"]["p50"] <= 1.0, s["match"]
-    assert s["match"]["px_err"]["mean"] <= 1.0, s["match"]
-    assert s["match"]["px_err"]["max"] <= 4.0, s["match"]
+    # Positions are bit-exact with cv::linemod (ACCURACY.json vs_opencv
+    # px_delta max 0.0), and the genuine engine reports on the stride-T0
+    # grid with a +T0/2 offset (linemod.cpp match reporting), so the
+    # reference-exact bound vs the planted truth is +-T0/2 = 2 px per
+    # axis (euclidean max 2*sqrt(2) ~ 2.83) — same bound as test_match.py.
+    assert s["match"]["px_err"]["p50"] <= 2.5, s["match"]
+    assert s["match"]["px_err"]["mean"] <= 2.5, s["match"]
+    assert s["match"]["px_err"]["max"] <= 2.9, s["match"]
     assert s["match"]["score"]["p50"] >= 99.0
     # Pose bar mirrors the e2e cascade test (5 deg / 1 cm): the rough pose
     # AVERAGES the orientation cluster's member rotations (C8 semantics,
