@@ -51,18 +51,31 @@ class EvalCase:
     score: float | None = None
 
 
+def _scene_depth(out, bg_mm: float = 1500.0) -> np.ndarray:
+    """Rendered depth with the empty background pushed to a far plane (the
+    bin-picking regime the reference's carmine/ensenso nodes see; zero-depth
+    pixels would quantize DepthNormal as missing data everywhere)."""
+    d = np.asarray(out.depth_mm).astype(np.float32)
+    return np.where(d > 0, d, np.float32(bg_mm))
+
+
 def evaluate_match_px(detector, renderer, meta, view_ids, threshold=85.0,
-                      class_id: str | None = None) -> list[EvalCase]:
+                      class_id: str | None = None,
+                      use_depth: bool = False) -> list[EvalCase]:
     """Match-level positional accuracy: re-render each trained view, match,
     and measure the pixel error of the best match against the template's
-    own level-0 bbox origin (the quantity OpenCV's Match.x/y carries)."""
+    own level-0 bbox origin (the quantity OpenCV's Match.x/y carries).
+    `use_depth=True` matches ColorGradient+DepthNormal (the reference's
+    flagship dual-modality config, renderer.cpp:179-185)."""
     import jax.numpy as jnp
 
     cid = class_id or detector.class_ids[0]
     cases: list[EvalCase] = []
     for k, vid in enumerate(view_ids):
         out = renderer.render(meta.R[vid], meta.T[vid])
-        res = detector.match(np.asarray(out.rgb), threshold, class_ids=[cid])[cid]
+        dep = _scene_depth(out) if use_depth else None
+        res = detector.match(np.asarray(out.rgb), threshold, depth_mm=dep,
+                             class_ids=[cid])[cid]
         if len(res) == 0:
             cases.append(EvalCase(view_id=vid, found=False))
             continue
@@ -81,10 +94,12 @@ def evaluate_match_px(detector, renderer, meta, view_ids, threshold=85.0,
     return cases
 
 
-def evaluate_pose(pipeline, renderer, meta, view_ids, threshold=85.0) -> list[EvalCase]:
+def evaluate_pose(pipeline, renderer, meta, view_ids, threshold=85.0,
+                  use_depth: bool = False) -> list[EvalCase]:
     """Pipeline-level 6D accuracy: full cascade on a rendered scene with its
     organized cloud; rotation geodesic (deg) and translation error (cm)
-    against the rendering pose."""
+    against the rendering pose.  `use_depth=True` feeds the frame depth to
+    the matcher (dual-modality cascade)."""
     import jax.numpy as jnp
 
     from .utils import geometry as geo
@@ -96,7 +111,9 @@ def evaluate_pose(pipeline, renderer, meta, view_ids, threshold=85.0) -> list[Ev
         cloud = np.asarray(
             pcu.depth_to_cloud(np.asarray(out.depth_mm) / 1000.0, renderer.K)
         )
-        dets = pipeline.detect(np.asarray(out.rgb), cloud, threshold)
+        dep = _scene_depth(out) if use_depth else None
+        dets = pipeline.detect(np.asarray(out.rgb), cloud, threshold,
+                               depth_mm=dep)
         if not dets:
             cases.append(EvalCase(view_id=vid, found=False))
             continue
@@ -114,7 +131,8 @@ def evaluate_pose(pipeline, renderer, meta, view_ids, threshold=85.0) -> list[Ev
 
 
 def evaluate_vs_opencv(detector, renderer, meta, view_ids, threshold=85.0,
-                       class_id: str | None = None) -> dict:
+                       class_id: str | None = None,
+                       use_depth: bool = False) -> dict:
     """Head-to-head vs the GENUINE cv::linemod engine on rendered objects.
 
     The trained bank bridges to a real cv::linemod::Detector through the
@@ -145,8 +163,10 @@ def evaluate_vs_opencv(detector, renderer, meta, view_ids, threshold=85.0,
     for vid in view_ids:
         out = renderer.render(meta.R[vid], meta.T[vid])
         rgb = np.asarray(out.rgb)
-        xyt, sim = orc.match(rgb, threshold)
-        ours = detector.match(rgb, threshold, class_ids=[cid])[cid]
+        dep = _scene_depth(out) if use_depth else None
+        xyt, sim = orc.match(rgb, threshold, depth_mm=dep)
+        ours = detector.match(rgb, threshold, depth_mm=dep,
+                              class_ids=[cid])[cid]
         if (len(sim) == 0) != (len(ours) == 0):
             continue  # disagreement on hit/miss — counted by agree below
         agree += 1
@@ -181,22 +201,29 @@ def evaluate_vs_opencv(detector, renderer, meta, view_ids, threshold=85.0,
 
 def make_ab_scenes(renderer, meta, view_ids, W, H, rng,
                    n_shifted=40, n_cluttered=30, n_multi=20, n_occluded=15,
-                   n_negative=15) -> list:
+                   n_negative=15, with_depth: bool = False) -> list:
     """Scene corpus for the bank-level A/B: planted real rendered views over
     low-texture backgrounds (the bin-picking regime), in five categories —
     shifted (clean), cluttered (distractor boxes + texture patches),
     multi-instance (two plants), occluded (a bar across ~35% of the object),
-    and object-free negatives.  Returns [(rgb, [(x, y) truths], category)].
+    and object-free negatives.  Returns [(rgb, [(x, y) truths], category)],
+    or with `with_depth` [(rgb, depth_mm, truths, category)] where the depth
+    channel carries the rendered object depth over a 1500 mm table plane,
+    distractor boxes at their own plausible depths, and occluder bars in
+    front of the object (what a real RGB-D sensor would report).
     """
     import numpy as np
 
+    BG_MM = 1500.0
     views = {}
     for vid in view_ids:
         out = renderer.render(meta.R[vid], meta.T[vid])
         rgb = np.asarray(out.rgb)
         mask = np.asarray(out.mask) > 0
+        dep = np.asarray(out.depth_mm).astype(np.float32)
         x, y, w, h = (int(v) for v in np.asarray(out.rect))
-        views[vid] = (rgb[y:y + h, x:x + w], mask[y:y + h, x:x + w], x, y)
+        views[vid] = (rgb[y:y + h, x:x + w], mask[y:y + h, x:x + w], x, y,
+                      dep[y:y + h, x:x + w])
 
     yy, xx = np.mgrid[0:H, 0:W]
 
@@ -206,20 +233,22 @@ def make_ab_scenes(renderer, meta, view_ids, W, H, rng,
             [base, (base * 0.92).astype(np.uint8),
              np.clip(base * 1.08, 0, 255).astype(np.uint8)], -1,
         )
+        dp = np.full((H, W), BG_MM, np.float32)
         n_rect = 6 if clutter else 0
         for _ in range(n_rect):
             y0 = int(rng.integers(0, H - 90)); x0 = int(rng.integers(0, W - 130))
             fr[y0:y0 + 90, x0:x0 + 130] = rng.integers(50, 180, size=3)
+            dp[y0:y0 + 90, x0:x0 + 130] = float(rng.uniform(1200, 1800))
         if clutter:  # high-frequency texture patches (strong random gradients)
             for _ in range(3):
                 y0 = int(rng.integers(0, H - 64)); x0 = int(rng.integers(0, W - 64))
                 fr[y0:y0 + 64, x0:x0 + 64] = rng.integers(
                     0, 255, size=(64, 64, 3), dtype=np.uint8
                 )
-        return fr
+        return fr, dp
 
-    def plant(fr, vid, occlude=False):
-        sub_rgb, sub_mask, x, y = views[vid]
+    def plant(fr, dp, vid, occlude=False):
+        sub_rgb, sub_mask, x, y, sub_dep = views[vid]
         h, w = sub_mask.shape
         dy = int(rng.integers(-y, H - (y + h)))
         dx = int(rng.integers(-x, W - (x + w)))
@@ -231,30 +260,37 @@ def make_ab_scenes(renderer, meta, view_ids, W, H, rng,
             m[b0:b0 + bar] = False
             fr[y + dy + b0:y + dy + b0 + bar, x + dx:x + dx + w] = \
                 rng.integers(40, 200, size=3)
+            # The occluder sits IN FRONT of the object.
+            dp[y + dy + b0:y + dy + b0 + bar, x + dx:x + dx + w] = \
+                float(rng.uniform(600, 900))
         fr[y + dy:y + dy + h, x + dx:x + dx + w][m] = sub_rgb[m]
+        dp[y + dy:y + dy + h, x + dx:x + dx + w][m] = sub_dep[m]
         return (x + dx, y + dy)
 
     vlist = list(views.keys())
-    scenes = []
+    raw = []
     for _ in range(n_shifted):
-        fr = background(False)
-        scenes.append((fr, [plant(fr, vlist[int(rng.integers(len(vlist)))])], "shifted"))
+        fr, dp = background(False)
+        raw.append((fr, dp, [plant(fr, dp, vlist[int(rng.integers(len(vlist)))])], "shifted"))
     for _ in range(n_cluttered):
-        fr = background(True)
-        scenes.append((fr, [plant(fr, vlist[int(rng.integers(len(vlist)))])], "cluttered"))
+        fr, dp = background(True)
+        raw.append((fr, dp, [plant(fr, dp, vlist[int(rng.integers(len(vlist)))])], "cluttered"))
     for _ in range(n_multi):
-        fr = background(True)
-        truths = [plant(fr, vlist[int(rng.integers(len(vlist)))]) for _ in range(2)]
-        scenes.append((fr, truths, "multi"))
+        fr, dp = background(True)
+        truths = [plant(fr, dp, vlist[int(rng.integers(len(vlist)))]) for _ in range(2)]
+        raw.append((fr, dp, truths, "multi"))
     for _ in range(n_occluded):
-        fr = background(False)
-        scenes.append(
-            (fr, [plant(fr, vlist[int(rng.integers(len(vlist)))], occlude=True)],
+        fr, dp = background(False)
+        raw.append(
+            (fr, dp, [plant(fr, dp, vlist[int(rng.integers(len(vlist)))], occlude=True)],
              "occluded")
         )
     for _ in range(n_negative):
-        scenes.append((background(True), [], "negative"))
-    return scenes
+        fr, dp = background(True)
+        raw.append((fr, dp, [], "negative"))
+    if with_depth:
+        return raw
+    return [(fr, truths, cat) for fr, _, truths, cat in raw]
 
 
 def evaluate_bank_ab(detector, scenes, threshold=92.0,
@@ -269,7 +305,9 @@ def evaluate_bank_ab(detector, scenes, threshold=92.0,
     bbox origin) and, when both engines' best matches share a template, the
     score/position deltas.
 
-    `scenes`: list of (rgb, planted, category) with planted = [(x, y)] truth
+    `scenes`: list of (rgb, planted, category) — or, for the dual-modality
+    A/B, (rgb, depth_mm, planted, category) from make_ab_scenes(with_depth=
+    True); depth is then fed to BOTH engines — with planted = [(x, y)] truth
     bbox origins (empty for negatives).
     """
     import os
@@ -293,14 +331,17 @@ def evaluate_bank_ab(detector, scenes, threshold=92.0,
     cats: dict[str, dict] = {}
     score_d, px_d, tmpl_mismatch = [], [], 0
     agree_scene = 0
-    for rgb, planted, cat in scenes:
+    for sc in scenes:
+        rgb, dep, planted, cat = sc if len(sc) == 4 else \
+            (sc[0], None, sc[1], sc[2])
         c = cats.setdefault(
             cat, {"scenes": 0, "objects": 0, "ours_hits": 0, "oracle_hits": 0,
                   "object_agreement": 0, "ours_fp": 0, "oracle_fp": 0},
         )
         c["scenes"] += 1
-        xyt, sim = orc.match(rgb, threshold)
-        ours = detector.match(rgb, threshold, class_ids=[cid])[cid]
+        xyt, sim = orc.match(rgb, threshold, depth_mm=dep)
+        ours = detector.match(rgb, threshold, depth_mm=dep,
+                              class_ids=[cid])[cid]
         n_ours = len(ours)
         if (n_ours > 0) == (len(sim) > 0):
             agree_scene += 1
