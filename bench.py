@@ -277,6 +277,53 @@ def _bench_real_bank(B, iters, extra):
     dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
 
+    # Two-object config on the MERGED multi-class path (BASELINE thresholds
+    # 92/94): cv::linemod scores every class in one Detector::match call
+    # (rgbdDetector.cpp:31-34) while the reference's two-object service
+    # alternates two single-class detectors; here both classes (each the
+    # full tiled real bank) share ONE preprocess -> ONE prune (at
+    # min(thresholds)) -> ONE survivor GEMM over the concatenated template
+    # axis -> ONE refinement dispatch.  two_object_split_fps is the
+    # alternator baseline: two sequential single-class pruned dispatches.
+    try:
+        thr_a, thr_b = 92.0, 94.0
+        f1m, bases = M.concat_level_features([feats1, feats1])
+        f0m, _ = M.concat_level_features([feats0, feats0])
+        W_gemm_m = M.build_gemm_weights(f1m, C, T1, Kc1)
+        W_cell_m = M.build_cell_weights(f1m, C, T1, Kc1)
+        jax.block_until_ready((W_gemm_m, W_cell_m))
+        slices = ((0, N), (N, 2 * N))
+        vpos_m = M.position_validity_flat(f1m.size, T1, Hc, Wc)
+        match_mc = jax.jit(lambda Rb: M.match_coarse_pruned_multiclass(
+            Rb, W_gemm_m, W_cell_m, f1m.count, vpos_m, slices,
+            (thr_a - 5.0, thr_b - 5.0), T1, Kc1, m_cap, top_k, Wc,
+            use_pallas=pallas_gather))
+        refine_mc = jax.jit(lambda R0, cand: M.refine_candidates_opencv_batched(
+            R0, f0m, cand, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
+            use_pallas=walk_pallas))
+
+        def two_object_merged(rgbs, depths):
+            R0, R1 = pre_b(rgbs, depths)
+            cands, _ = match_mc(R1)
+            cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
+                                    for a in zip(*cands)))
+            return refine_mc(R0, cat)
+
+        def two_object_split(rgbs, depths):
+            return match_pruned(rgbs, depths), match_pruned(rgbs, depths)
+
+        dt_m = _time(two_object_merged, iters, rgbs, depths,
+                     label=f"two_object_merged_batch{B}")
+        extra["two_object_batch_fps"] = round(B / dt_m, 2)
+        dt_s = _time(two_object_split, iters, rgbs, depths,
+                     label=f"two_object_split_batch{B}")
+        extra["two_object_split_fps"] = round(B / dt_s, 2)
+        m2 = two_object_merged(rgbs, depths)
+        ok2, tot2 = _found_rate(m2, truths)
+        extra["two_object_found"] = f"{ok2}/{tot2}"
+    except Exception as e:  # pragma: no cover
+        extra["two_object_error"] = str(e)[:200]
+
     # End-to-end p50 on a REAL scene: match + the full cascade (voting,
     # NMS, orientation clustering, viewport re-render, two-stage ICP, HV)
     # against the real 2652-entry metadata.  On real scenes ICP early-stops
@@ -562,16 +609,8 @@ def main() -> None:
     dt = _time(match_rgbd, iters, rgbs[:1], depths[:1], label="synth_rgbd_single")
     extra["synth_rgbd_single_fps"] = round(1.0 / dt, 2)
 
-    # Two-object config (BASELINE: thresholds 92/94, one bank per object,
-    # service-style alternation).
-    match_rgbd2, _, _, _ = _build_stages(n_templates, 2, T0, T1, E1, E0, top_k, thr,
-                                         seed_base=100)
-
-    def two_object(rgbs, depths):
-        return match_rgbd(rgbs, depths), match_rgbd2(rgbs, depths)
-
-    dt = _time(two_object, iters, rgbs, depths, label=f"two_object_batch{B}")
-    extra["two_object_batch_fps"] = round(B / dt, 2)
+    # Two-object config now runs inside _bench_real_bank on the MERGED
+    # multi-class production path (real bank, thresholds 92/94).
 
     # RGB-only (round-1 continuity).
     match_rgb, _, _, _ = _build_stages(n_templates, 1, T0, T1, E1, E0, top_k, thr)

@@ -231,7 +231,18 @@ def extract_template(
     grad_l: list[np.ndarray] = []
     norm_l: list[np.ndarray] = []
     cur_rgb = rgb.astype(np.float32)
-    cur_depth = depth_mm.astype(np.float32) if depth_mm is not None else None
+    # Depth quantizes ONCE at level 0; coarser levels subsample the
+    # quantized normals (DepthNormalPyramid::pyrDown, probed bit-exact
+    # against the genuine engine — NOT a re-quantize of decimated depth).
+    cur_qnorm = None
+    if params.use_depth_normal and depth_mm is not None and precomputed is None:
+        cur_qnorm = np.asarray(
+            FO.quantize_depth_normal(
+                jnp.asarray(depth_mm.astype(np.float32)),
+                params.depth.distance_threshold,
+                params.depth.difference_threshold,
+            )
+        )
     cur_mask = (mask > 0).astype(np.uint8)
     for l in range(levels):
         if params.use_color_gradient:
@@ -243,11 +254,12 @@ def extract_template(
                 return None
             grad_l.append(g)
         if params.use_depth_normal:
-            if cur_depth is None:
+            if depth_mm is None:
                 return None
             n = extract_normal_features(
-                cur_depth, cur_mask, params.depth, params.depth.num_features,
-                precomputed=precomputed["norm"][l] if precomputed else None,
+                None, cur_mask, params.depth, params.depth.num_features,
+                precomputed=precomputed["norm"][l] if precomputed
+                else cur_qnorm,
             )
             if n is None:
                 return None
@@ -257,8 +269,8 @@ def extract_template(
                 cur_rgb = np.stack(
                     [_pyr_down_np(cur_rgb[..., c]) for c in range(cur_rgb.shape[-1])], axis=-1
                 )
-            if cur_depth is not None:
-                cur_depth = cur_depth[::2, ::2]
+            if cur_qnorm is not None:
+                cur_qnorm = cur_qnorm[::2, ::2]
             cur_mask = cur_mask[::2, ::2]
 
     # Crop to common bbox in level-0 coords (cv::linemod cropTemplates).

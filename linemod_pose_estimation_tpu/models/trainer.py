@@ -88,7 +88,13 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
         u8_levels, f32_levels = [], []
         center_depth = depth[H // 2, W // 2]
         cur = rgb.astype(jnp.float32)
-        cur_d = depth
+        # Depth quantizes ONCE at full resolution; coarser levels subsample
+        # the level-0 quantized normals (DepthNormalPyramid::pyrDown
+        # semantics — probed bit-exact against the genuine engine).
+        cur_qd = (
+            FO.quantize_depth_normal(depth, dist_thresh, diff_thresh)
+            if use_depth else None
+        )
         cur_m = mask
         for l in range(levels):
             s = crop >> l
@@ -96,8 +102,7 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
             q, m2 = FO.quantize_color_gradient(cur, weak_threshold)
             planes = [jax.lax.dynamic_slice(q, (oy, ox), (s, s))]
             if use_depth:
-                qd = FO.quantize_depth_normal(cur_d, dist_thresh, diff_thresh)
-                planes.append(jax.lax.dynamic_slice(qd, (oy, ox), (s, s)))
+                planes.append(jax.lax.dynamic_slice(cur_qd, (oy, ox), (s, s)))
             planes.append(
                 jax.lax.dynamic_slice(cur_m, (oy, ox), (s, s)).astype(jnp.uint8)
             )
@@ -108,7 +113,8 @@ def _featurize_batch(rgbs, depths, masks, rects, weak_threshold, dist_thresh,
                     [FO.pyr_down(cur[..., c]) for c in range(cur.shape[-1])],
                     axis=-1,
                 )
-                cur_d = cur_d[::2, ::2]
+                if use_depth:
+                    cur_qd = cur_qd[::2, ::2]
                 cur_m = cur_m[::2, ::2]
         meta = jnp.stack([
             cy0.astype(jnp.float32), cx0.astype(jnp.float32), center_depth,

@@ -282,27 +282,77 @@ def quantize_color_gradient(
     return quant, mag2
 
 
+_NORMAL_G = 10  # GRANULARITY of the engine's normal LUT (probed)
+_NORMAL_LUT_CACHE: np.ndarray | None = None
+
+
+def _normal_lut_table() -> np.ndarray:
+    """The engine's (11, 21, 21) NORMAL_LUT over truncated-discretized
+    normalized (nz, ny, nx), reconstructed by BLACK-BOX probing of the
+    genuine cv::linemod DepthNormal quantizer (tools/probe_normal_lut.py;
+    zero conflicts over ~75k probe images).  Cells the probe never reached
+    (off the unit-sphere shell — unreachable at runtime, where inputs are
+    always normalized) carry the azimuth-sector fallback
+    round(atan2(v2-G, v1-G) * 8/2pi) that the probed cells follow."""
+    global _NORMAL_LUT_CACHE
+    if _NORMAL_LUT_CACHE is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "normal_lut_calib.npz")
+        with np.load(path) as z:
+            _NORMAL_LUT_CACHE = z["lut"].astype(np.uint8)
+    return _NORMAL_LUT_CACHE
+
+
+def _median5_bitmask(q: jnp.ndarray) -> jnp.ndarray:
+    """cv::medianBlur(q, 5) on the quantized-normal u8 image, replicate
+    border: the true 13th-smallest of the 25-window.  A counting pass over
+    the 9 one-hot values is NOT enough — the engine's NORMAL_LUT emits
+    arbitrary (deterministic) bytes on its degenerate nz==0 row, so the
+    median must rank the raw u8 values.  Bitwise MSB-first majority radix:
+    8 passes, each narrowing the candidate set by whether >= 13 of the 25
+    window values carry the current bit given the already-fixed prefix."""
+    H, W = q.shape
+    p = jnp.pad(q, 2, mode="edge")
+    wins = [
+        jax.lax.dynamic_slice(p, (r, c), (H, W)).astype(jnp.int32)
+        for r in range(5) for c in range(5)
+    ]
+    med = jnp.zeros((H, W), jnp.int32)
+    for bit in range(7, -1, -1):
+        probe = med | (1 << bit)
+        cnt = jnp.zeros((H, W), jnp.int32)
+        for w in wins:
+            cnt = cnt + (w >= probe)
+        med = jnp.where(cnt >= 13, probe, med)
+    return med.astype(jnp.uint8)
+
+
 def quantize_depth_normal(
     depth_mm: jnp.ndarray,
     distance_threshold: float = 2000.0,
     difference_threshold: float = 50.0,
     radius: int = 5,
 ) -> jnp.ndarray:
-    """Depth (H, W) in mm (0 = invalid) -> quantized surface-normal bitmask.
+    """Depth (H, W) in mm (0 = invalid) -> quantized surface-normal bitmask,
+    BIT-EXACT with cv::linemod's DepthNormal quantizedNormals (verified
+    against the genuine engine over ~75k probe scenes plus randomized
+    corpora, tests/test_oracle_parity.py).
 
-    Per OpenCV DepthNormal::quantizedNormals: least-squares plane fit over
-    the 8 neighbours at `radius` px (OpenCV's l_r = 5; depth differences
-    beyond `difference_threshold` rejected as discontinuities, pixels beyond
-    `distance_threshold` ignored), then the depth-gradient azimuth quantized
-    into 8 sectors with phase-0 round binning.
-
-    Binning calibrated against the REAL cv::linemod quantizer (the oracle,
-    tests/test_oracle_parity.py): bin = round(atan2(ddy, ddx) * 8/2pi) mod 8
-    matches OpenCV's normal LUT exactly on planar surfaces (the gradient
-    azimuth equals the projected-normal azimuth: nx, ny are positive
-    multiples of ddx, ddy).
+    The replicated chain: integer bilateral-masked LS plane fit over the 8
+    neighbours at radius 5 (depth deltas >= `difference_threshold` rejected
+    with weight 0), UNNORMALIZED integer solution (ddx, ddy, det) -> f32
+    normal (1150*ddx, 1150*ddy, -det*d) -> normalize -> truncate onto the
+    GRANULARITY=10 grid -> NORMAL_LUT lookup (probed table) -> zero outside
+    rows/cols [5, dim-6] (the engine's asymmetric loop bounds) -> 5x5
+    median blur.  All arithmetic stays in the exact-integer range of f32
+    (|b| <= 2e3, |ddx| <= 8e5, det <= 4e4), and the two values that exceed
+    2^24 (1150*ddx, det*d) are single correctly-rounded f32 products —
+    identical to the engine's static_cast<float>(long) of the exact
+    integer.
     """
-    d = depth_mm.astype(jnp.float32)
+    d32 = depth_mm.astype(jnp.int32)  # CV_16U truncation semantics
+    d = d32.astype(jnp.float32)
     H, W = d.shape
     r = radius
     pd = jnp.pad(d, [(r, r), (r, r)])
@@ -316,26 +366,38 @@ def quantize_depth_normal(
     for oy, ox in offsets:
         nb = jax.lax.dynamic_slice(pd, (oy + r, ox + r), (H, W))
         delta = nb - d
-        ok = (nb > 0) & (jnp.abs(delta) < difference_threshold)
+        # accumBilateral: weight 1 iff |delta| < threshold; the engine does
+        # NOT exclude zero-depth neighbours (delta = -d simply fails the
+        # threshold for d >= 50 and contributes zero for d < 50).
+        w = (jnp.abs(delta) < difference_threshold).astype(jnp.float32)
         u, v = float(ox), float(oy)
-        w = ok.astype(jnp.float32)
-        A00 += w * u * u
-        A01 += w * u * v
-        A11 += w * v * v
-        b0 += w * u * delta
-        b1 += w * v * delta
-    det = A00 * A11 - A01 * A01
-    valid = (d > 0) & (d < distance_threshold) & (jnp.abs(det) > 1e-6)
-    inv_det = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
-    ddx = (A11 * b0 - A01 * b1) * inv_det
-    ddy = (A00 * b1 - A01 * b0) * inv_det
-
-    grad2 = ddx * ddx + ddy * ddy
-    has_grad = grad2 > 1e-8
-    angle = jnp.arctan2(ddy, ddx)  # (-pi, pi]
-    bin8 = jnp.round(angle * (8.0 / (2.0 * jnp.pi))).astype(jnp.int32) % 8
-    ok = valid & has_grad
-    return jnp.where(ok, (1 << bin8).astype(jnp.uint8), jnp.uint8(0))
+        A00 += w * (u * u)
+        A01 += w * (u * v)
+        A11 += w * (v * v)
+        b0 += (w * u) * delta
+        b1 += (w * v) * delta
+    det = A00 * A11 - A01 * A01        # <= 4e4: exact in f32
+    ddx = A11 * b0 - A01 * b1          # <= 8e5: exact in f32
+    ddy = -A01 * b0 + A00 * b1
+    nx = jnp.float32(1150.0) * ddx     # one correctly-rounded product
+    ny = jnp.float32(1150.0) * ddy
+    nz = -det * d
+    sq = nx * nx + ny * ny + nz * nz   # engine's left-assoc f32 order
+    sqr = jnp.sqrt(sq)
+    inv = jnp.where(sqr > 0, jnp.float32(1.0) / jnp.maximum(sqr, 1e-30), 0.0)
+    G = jnp.float32(_NORMAL_G)
+    v1 = (nx * inv * G + G).astype(jnp.int32)  # trunc, as static_cast<int>
+    v2 = (ny * inv * G + G).astype(jnp.int32)
+    v3 = (nz * inv * G + G).astype(jnp.int32)
+    lut = jnp.asarray(_normal_lut_table().reshape(-1))
+    flat = (jnp.clip(v3, 0, 10) * 21 + jnp.clip(v2, 0, 20)) * 21 + jnp.clip(v1, 0, 20)
+    val = lut[flat]
+    ok = (d < distance_threshold) & (sqr > 0)
+    q = jnp.where(ok, val, jnp.uint8(0))
+    # Engine loop bounds: rows/cols [l_r, dim - l_r - 1) — note the extra -1.
+    border = jnp.zeros((H, W), bool).at[r:H - r - 1, r:W - r - 1].set(True)
+    q = jnp.where(border, q, jnp.uint8(0))
+    return _median5_bitmask(q)
 
 
 def orientation_spread(quant: jnp.ndarray, T: int) -> jnp.ndarray:

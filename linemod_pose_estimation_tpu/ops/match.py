@@ -1534,8 +1534,10 @@ def preprocess_frame(
     if use_depth and depth_mm is not None:
         n0 = F.quantize_depth_normal(depth_mm)
         n_r0 = respond(n0, T0)
-        d1 = depth_mm[::2, ::2]
-        n1 = F.quantize_depth_normal(d1)
+        # DepthNormalPyramid::pyrDown SUBSAMPLES the level-0 quantized
+        # normals (probed: oracle quantize_level(1) == level0[::2, ::2]
+        # exactly; re-quantizing downsampled depth only agrees ~82-86%).
+        n1 = n0[::2, ::2]
         n_r1 = respond(n1, T1)
     else:
         n_r0 = jnp.zeros_like(g_r0)
@@ -1588,11 +1590,11 @@ def preprocess_frames_batched(
     q1 = quantize_color_gradient_pallas(rgb1, weak_threshold)
     g_r1 = jax.vmap(lambda q: respond(q, T1))(q1)
     if use_depth and depths_mm is not None:
-        n_r0 = jax.vmap(lambda d: respond(F.quantize_depth_normal(d), T0))(
-            depths_mm)
-        n_r1 = jax.vmap(
-            lambda d: respond(F.quantize_depth_normal(d[::2, ::2]), T1)
-        )(depths_mm)
+        n0 = jax.vmap(F.quantize_depth_normal)(depths_mm)
+        n_r0 = jax.vmap(lambda n: respond(n, T0))(n0)
+        # Level 1 = subsample of the level-0 quantized normals (the
+        # engine's DepthNormalPyramid::pyrDown semantics, probed exact).
+        n_r1 = jax.vmap(lambda n: respond(n, T1))(n0[:, ::2, ::2])
         return (
             jnp.concatenate([g_r0, n_r0], axis=1),
             jnp.concatenate([g_r1, n_r1], axis=1),

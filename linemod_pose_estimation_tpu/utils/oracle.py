@@ -72,6 +72,11 @@ def _get_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.lpe_oracle_quantize_level.restype = ctypes.c_int
+    lib.lpe_oracle_quantize_level.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -172,6 +177,30 @@ class LinemodOracle:
         )
         if rc != 0:
             raise RuntimeError(f"oracle quantize failed: {rc}")
+        return out
+
+    def quantize_level(self, rgb: np.ndarray | None, modality: int = 0,
+                       depth_mm: np.ndarray | None = None,
+                       level: int = 0) -> np.ndarray:
+        """Quantized bitmask after `level` QuantizedPyramid::pyrDown calls
+        — the real engine's per-level quantization (e.g. DepthNormal's
+        level-1 semantics)."""
+        if modality == 0:
+            rgb = np.ascontiguousarray(rgb, np.uint8)
+            h, w = rgb.shape[:2]
+            rgb_ptr = rgb.ctypes.data
+            dep_ptr = None
+        else:
+            dep = np.ascontiguousarray(depth_mm, np.uint16)
+            h, w = dep.shape
+            rgb_ptr = None
+            dep_ptr = dep.ctypes.data
+        out = np.zeros((h >> level, w >> level), np.uint8)
+        rc = self._lib.lpe_oracle_quantize_level(
+            self._h, modality, rgb_ptr, h, w, dep_ptr, level, out.ctypes.data
+        )
+        if rc != 0:
+            raise RuntimeError(f"oracle quantize_level failed: {rc}")
         return out
 
     def template(self, tid: int, idx: int, cap: int = 256):

@@ -193,4 +193,33 @@ int lpe_oracle_quantize(void* h, int mod, const uint8_t* rgb, int height,
   return 0;
 }
 
+// Same, after `level` QuantizedPyramid::pyrDown calls — exposes the real
+// engine's per-level quantization semantics (e.g. whether DepthNormal
+// re-quantizes downsampled depth or subsamples the level-0 normals).
+// `out` must hold (height >> level) * (width >> level) bytes.
+int lpe_oracle_quantize_level(void* h, int mod, const uint8_t* rgb,
+                              int height, int width, const uint16_t* depth,
+                              int level, uint8_t* out) {
+  Oracle* o = static_cast<Oracle*>(h);
+  const std::vector<cv::Ptr<cv::linemod::Modality>>& mods =
+      o->det->getModalities();
+  if (mod < 0 || mod >= static_cast<int>(mods.size())) return -1;
+  cv::Mat src;
+  if (mod == 0)
+    src = cv::Mat(height, width, CV_8UC3, const_cast<uint8_t*>(rgb));
+  else if (depth)
+    src = cv::Mat(height, width, CV_16UC1, const_cast<uint16_t*>(depth));
+  else
+    return -2;
+  cv::Ptr<cv::linemod::QuantizedPyramid> qp =
+      mods[mod]->process(src, cv::Mat());
+  for (int l = 0; l < level; ++l) qp->pyrDown();
+  cv::Mat q;
+  qp->quantize(q);
+  const int eh = height >> level, ew = width >> level;
+  if (q.rows != eh || q.cols != ew || q.type() != CV_8UC1) return -3;
+  std::memcpy(out, q.data, static_cast<size_t>(eh) * ew);
+  return 0;
+}
+
 }  // extern "C"
