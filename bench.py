@@ -193,12 +193,14 @@ def _bench_real_bank(B, iters, extra):
     E0 = bank.extent(0)
     use_depth = p.use_depth_normal
     C = 16 if use_depth else 8
-    # m_cap 64: measured survivors/frame mean ~45 on these scenes; the
-    # survivor GEMM cost is linear in the cap (256 -> 128 -> 64 measured
-    # 326 -> 390 fps/chip at identical found-rate).  Overflow degrades
-    # gracefully — the plan keeps the positions with the HIGHEST upper
-    # bounds and the overflow flag is recorded in extras.
-    thr, top_k, m_cap = 91.0, 128, 64
+    # m_cap 96: the exact-quantizer bank measures ~49 mean survivors on
+    # these scenes (the 5x5-median-smoothed normal field spreads wider),
+    # and m_cap 64 OVERFLOWED — which triggers the in-graph exhaustive
+    # fallback and costs the whole batch the exhaustive price.  96 keeps
+    # ~2x headroom (measured 331 fps vs 290 at cap 128; the survivor GEMM
+    # is linear in the cap).  LPE_BENCH_MCAP overrides for tuning runs.
+    thr, top_k = 91.0, 128
+    m_cap = int(os.environ.get("LPE_BENCH_MCAP", "96"))
 
     n0 = bank.num_templates
     reps = max(1, -(-10240 // n0))  # tile UP to >= 10240
@@ -294,20 +296,22 @@ def _bench_real_bank(B, iters, extra):
         jax.block_until_ready((W_gemm_m, W_cell_m))
         slices = ((0, N), (N, 2 * N))
         vpos_m = M.position_validity_flat(f1m.size, T1, Hc, Wc)
-        match_mc = jax.jit(lambda Rb: M.match_coarse_pruned_multiclass(
-            Rb, W_gemm_m, W_cell_m, f1m.count, vpos_m, slices,
+        # Weights/features as ARGUMENTS: closing over them embeds ~3 GB of
+        # HLO constants (see the module docstring's remote-compile note).
+        match_mc = jax.jit(lambda Rb, Wg, Wc_, cnt, vp: M.match_coarse_pruned_multiclass(
+            Rb, Wg, Wc_, cnt, vp, slices,
             (thr_a - 5.0, thr_b - 5.0), T1, Kc1, m_cap, top_k, Wc,
             use_pallas=pallas_gather))
-        refine_mc = jax.jit(lambda R0, cand: M.refine_candidates_opencv_batched(
-            R0, f0m, cand, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
+        refine_mc = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+            R0, f0, cand, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
             use_pallas=walk_pallas))
 
         def two_object_merged(rgbs, depths):
             R0, R1 = pre_b(rgbs, depths)
-            cands, _ = match_mc(R1)
+            cands, _ = match_mc(R1, W_gemm_m, W_cell_m, f1m.count, vpos_m)
             cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
                                     for a in zip(*cands)))
-            return refine_mc(R0, cat)
+            return refine_mc(R0, cat, f0m)
 
         def two_object_split(rgbs, depths):
             return match_pruned(rgbs, depths), match_pruned(rgbs, depths)
@@ -602,6 +606,10 @@ def main() -> None:
         _log(f"real-bank headline failed: {e}")
     extra["batch"] = B
 
+    if os.environ.get("LPE_BENCH_REAL_ONLY"):
+        _emit(real, extra, n_templates, B)
+        return
+
     # Synthetic continuity extras (round-2 configuration).
     match_rgbd, f1d, f0d, _ = _build_stages(n_templates, 2, T0, T1, E1, E0, top_k, thr)
     dt = _time(match_rgbd, iters, rgbs, depths, label=f"synth_rgbd_batch{B}")
@@ -631,6 +639,10 @@ def main() -> None:
     except Exception as e:  # keep the headline robust to cascade issues
         extra["e2e_error"] = str(e)[:200]
 
+    _emit(real, extra, n_templates, B)
+
+
+def _emit(real, extra, n_templates=10240, B=16) -> None:
     if real is not None:
         fps, use_depth = real
         mod = "rgbd" if use_depth else "rgb"

@@ -284,13 +284,14 @@ def quantize_color_gradient(
 
 _NORMAL_G = 10  # GRANULARITY of the engine's normal LUT (probed)
 _NORMAL_LUT_CACHE: np.ndarray | None = None
+_NORMAL_PATCH_CACHE: tuple[np.ndarray, np.ndarray] | None = None
 
 
 def _normal_lut_table() -> np.ndarray:
     """The engine's (11, 21, 21) NORMAL_LUT over truncated-discretized
     normalized (nz, ny, nx), reconstructed by BLACK-BOX probing of the
     genuine cv::linemod DepthNormal quantizer (tools/probe_normal_lut.py;
-    zero conflicts over ~75k probe images).  Cells the probe never reached
+    zero conflicts over ~85k probe images).  Cells the probe never reached
     (off the unit-sphere shell — unreachable at runtime, where inputs are
     always normalized) carry the azimuth-sector fallback
     round(atan2(v2-G, v1-G) * 8/2pi) that the probed cells follow."""
@@ -302,6 +303,26 @@ def _normal_lut_table() -> np.ndarray:
         with np.load(path) as z:
             _NORMAL_LUT_CACHE = z["lut"].astype(np.uint8)
     return _NORMAL_LUT_CACHE
+
+
+def _normal_lut_patches() -> tuple[np.ndarray, np.ndarray]:
+    """(flat_cell_ids, values) where the probed LUT deviates from the
+    azimuth-sector rule — 74 cells, almost all on the degenerate nz == 0
+    row.  The runtime lookup computes the azimuth rule arithmetically and
+    overrides these cells with fused equality-selects: a real TPU gather
+    from the 4851-entry table costs ~2.5 ms/frame (XLA lowers small-table
+    gathers to a serial loop), while 74 fused compares are free."""
+    global _NORMAL_PATCH_CACHE
+    if _NORMAL_PATCH_CACHE is None:
+        lut = _normal_lut_table()
+        G = _NORMAL_G
+        az = np.arctan2(np.arange(21)[:, None] - G, np.arange(21)[None, :] - G)
+        fb = (1 << (np.round(az * (8 / (2 * np.pi))).astype(np.int32) % 8))
+        dev = lut != fb[None].astype(np.uint8)
+        zz, yy, xx = np.nonzero(dev)
+        flat = (zz * 21 + yy) * 21 + xx
+        _NORMAL_PATCH_CACHE = (flat.astype(np.int32), lut[dev])
+    return _NORMAL_PATCH_CACHE
 
 
 def _median5_bitmask(q: jnp.ndarray) -> jnp.ndarray:
@@ -389,9 +410,15 @@ def quantize_depth_normal(
     v1 = (nx * inv * G + G).astype(jnp.int32)  # trunc, as static_cast<int>
     v2 = (ny * inv * G + G).astype(jnp.int32)
     v3 = (nz * inv * G + G).astype(jnp.int32)
-    lut = jnp.asarray(_normal_lut_table().reshape(-1))
+    # LUT lookup WITHOUT a gather (see _normal_lut_patches): the azimuth
+    # rule computed arithmetically, plus 74 fused equality patches.
+    az = jnp.arctan2((v2 - 10).astype(jnp.float32), (v1 - 10).astype(jnp.float32))
+    b8 = jnp.round(az * jnp.float32(8.0 / (2.0 * np.pi))).astype(jnp.int32) % 8
+    val = (jnp.uint8(1) << b8.astype(jnp.uint8)).astype(jnp.uint8)
     flat = (jnp.clip(v3, 0, 10) * 21 + jnp.clip(v2, 0, 20)) * 21 + jnp.clip(v1, 0, 20)
-    val = lut[flat]
+    p_flat, p_val = _normal_lut_patches()
+    for fk, vk in zip(p_flat.tolist(), p_val.tolist()):
+        val = jnp.where(flat == fk, jnp.uint8(vk), val)
     ok = (d < distance_threshold) & (sqr > 0)
     q = jnp.where(ok, val, jnp.uint8(0))
     # Engine loop bounds: rows/cols [l_r, dim - l_r - 1) — note the extra -1.
@@ -447,10 +474,14 @@ _PYR5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """cv::pyrDown: 5x5 Gaussian ([1,4,6,4,1]/16 separable) then decimate 2x.
+    """cv::pyrDown: 5x5 Gaussian ([1,4,6,4,1]/16 separable) then decimate 2x,
+    HALF-UP rounded to the integer grid — the engine's fixed-point pyrDown
+    emits u8, and the rounding is load-bearing for bit-exact level-1
+    quantization (probed: floor(ours + 0.5) == cv::pyrDown on every pixel;
+    unrounded f32 flips ~3% of level-1 orientation bins vs the oracle).
 
     Works on (H, W) float32; reflect-101 borders.
     """
     x = _reflect_pad2d(img.astype(jnp.float32), 2)
     out = _conv1d(_conv1d(x, _PYR5, 1), _PYR5, 0)
-    return out[::2, ::2]
+    return jnp.floor(out[::2, ::2] + jnp.float32(0.5))

@@ -1576,11 +1576,12 @@ def preprocess_frames_batched(
         )(rgbs, depths_mm if depths_mm is not None
           else jnp.zeros(rgbs.shape[:3], jnp.float32))
 
+    from .pallas_kernels import spread_response_batched
     from .pallas_preprocess import quantize_color_gradient_pallas
 
-    respond = lambda q, T: F.response_maps(F.orientation_spread(q, T))
+    respond_b = lambda qs, T: spread_response_batched(qs, T)
     q0 = quantize_color_gradient_pallas(rgbs, weak_threshold)
-    g_r0 = jax.vmap(lambda q: respond(q, T0))(q0)
+    g_r0 = respond_b(q0, T0)
     rgb1 = jax.vmap(
         lambda rgb: jnp.stack(
             [F.pyr_down(rgb[..., c].astype(jnp.float32)) for c in range(3)],
@@ -1588,13 +1589,13 @@ def preprocess_frames_batched(
         )
     )(rgbs)
     q1 = quantize_color_gradient_pallas(rgb1, weak_threshold)
-    g_r1 = jax.vmap(lambda q: respond(q, T1))(q1)
+    g_r1 = respond_b(q1, T1)
     if use_depth and depths_mm is not None:
         n0 = jax.vmap(F.quantize_depth_normal)(depths_mm)
-        n_r0 = jax.vmap(lambda n: respond(n, T0))(n0)
+        n_r0 = respond_b(n0, T0)
         # Level 1 = subsample of the level-0 quantized normals (the
         # engine's DepthNormalPyramid::pyrDown semantics, probed exact).
-        n_r1 = jax.vmap(lambda n: respond(n, T1))(n0[:, ::2, ::2])
+        n_r1 = respond_b(n0[:, ::2, ::2], T1)
         return (
             jnp.concatenate([g_r0, n_r0], axis=1),
             jnp.concatenate([g_r1, n_r1], axis=1),

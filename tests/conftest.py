@@ -42,3 +42,57 @@ SHIPPED_BANK = (
     REFERENCE + "/config/data/boxNew_longDistance_linemod_xtion_renderer_params.yml"
 )
 STL_DIR = REFERENCE + "/config/stl"
+
+
+# ---------------------------------------------------------------------------
+# Disk cache for test renders (the suite's dominant cost on a 1-core CPU
+# host: one 640x480 STL render takes ~14 s).  Keyed by the render inputs
+# PLUS a hash of the rasterizer sources, so any renderer change invalidates
+# the cache; the arrays returned are bit-identical to a live render.  The
+# cache directory is committed (tests/data/render_cache) so cold CI runs
+# skip the renders too; the renderer's own parity tests exercise the live
+# path through Renderer._batch_fn / models.renderer.render directly.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="session", autouse=True)
+def _render_disk_cache():
+    import hashlib
+    import pathlib
+
+    from linemod_pose_estimation_tpu.models import renderer as RD
+    from linemod_pose_estimation_tpu.ops import pallas_raster as PR
+
+    src = (pathlib.Path(RD.__file__).read_bytes()
+           + pathlib.Path(PR.__file__).read_bytes())
+    ver = hashlib.sha256(src).hexdigest()[:12]
+    cdir = pathlib.Path(__file__).parent / "data" / "render_cache"
+    cdir.mkdir(parents=True, exist_ok=True)
+    orig = RD.Renderer.render
+
+    def render(self, R, T_bank):
+        key = hashlib.sha256(
+            ver.encode()
+            + np.asarray(R, np.float32).tobytes()
+            + np.asarray(T_bank, np.float32).tobytes()
+            + np.asarray(self.triangles, np.float32).tobytes()
+            + repr((self.width, self.height, np.asarray(self.K).tolist(),
+                    self.chunk)).encode()
+        ).hexdigest()[:24]
+        f = cdir / f"{key}.npz"
+        if f.exists():
+            with np.load(f) as z:
+                return RD.RenderOutput(
+                    depth_mm=z["depth_mm"], mask=z["mask"], rgb=z["rgb"],
+                    rect=z["rect"],
+                )
+        out = orig(self, R, T_bank)
+        np.savez_compressed(
+            f, depth_mm=np.asarray(out.depth_mm), mask=np.asarray(out.mask),
+            rgb=np.asarray(out.rgb), rect=np.asarray(out.rect),
+        )
+        return out
+
+    RD.Renderer.render = render
+    try:
+        yield
+    finally:
+        RD.Renderer.render = orig

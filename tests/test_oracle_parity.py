@@ -264,6 +264,26 @@ def test_quantization_parity_depth(rng):
     assert mismatches(holes) == 0
 
 
+def test_quantization_parity_color_level1(rng):
+    """Level-1 ColorGradient parity: cv::pyrDown's fixed-point u8 rounding
+    is replicated (half-up) so the downsampled quantization is bit-exact
+    (unrounded f32 pyramids flip ~3% of level-1 bins on noise images)."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import features as F
+
+    o = ORC.LinemodOracle()
+    for _ in range(2):
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        q1_cv = o.quantize_level(rgb, modality=0, level=1)
+        rgb1 = jnp.stack(
+            [F.pyr_down(jnp.asarray(rgb[..., c], jnp.float32)) for c in range(3)],
+            axis=-1,
+        )
+        q1_us = np.asarray(F.quantize_color_gradient(rgb1, 10.0)[0])
+        assert (q1_cv == q1_us).all()
+
+
 def test_quantization_parity_depth_level1(rng):
     """Level-1 DepthNormal = SUBSAMPLE of the level-0 quantized normals
     (DepthNormalPyramid::pyrDown), not a re-quantize of decimated depth."""
