@@ -86,9 +86,9 @@ def _time(fn, iters, *args, label=""):
 # Real-bank headline
 
 
-def _gunzip_bank():
+def _gunzip_bank(stems=("boxNew_rgbd", "boxNew_full")):
     """Decompress the committed reference-scale banks; prefer RGB-D."""
-    for stem in ("boxNew_rgbd", "boxNew_full"):
+    for stem in stems:
         tpl_gz = os.path.join(REPO, "data", f"{stem}_templates.yml.gz")
         prm_gz = os.path.join(REPO, "data", f"{stem}_params.yml.gz")
         if os.path.exists(tpl_gz) and os.path.exists(prm_gz):
@@ -278,6 +278,54 @@ def _bench_real_bank(B, iters, extra):
     # Single-frame latency through the pruned production path.
     dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
+
+    # Real-bank RGB-only pruned throughput (the round-3 comparison point:
+    # same pruned path on the ColorGradient-only trained bank, C = 8).
+    try:
+        tpl_rgb, _ = _gunzip_bank(stems=("boxNew_full",))
+        det_rgb = Detector.read(tpl_rgb)
+        bank_rgb = det_rgb.bank(det_rgb.class_ids[0])
+        Kc1r = bank_rgb.max_cell_extent(1)
+        E0r = bank_rgb.extent(0)
+        n0r = bank_rgb.num_templates
+        repsr = max(1, -(-10240 // n0r))
+        Nr = ((n0r * repsr + 127) // 128) * 128
+        f1r = _tile_features(bank_rgb.merged_features(1), repsr, Nr)
+        f0r = _tile_features(bank_rgb.merged_features(0), repsr, Nr)
+        Wg_r = M.build_gemm_weights(f1r, 8, T1, Kc1r)
+        Wc_r = M.build_cell_weights(f1r, 8, T1, Kc1r)
+        jax.block_until_ready((Wg_r, Wc_r))
+        pre_rgb = jax.jit(lambda rgbs, depths: M.preprocess_frames_batched(
+            rgbs, depths, T0=T0, T1=T1, use_depth=False,
+            weak_threshold=p.color.weak_threshold, use_pallas_quant=pq))
+        vpos_r = M.position_validity_flat(f1r.size, T1, Hc, Wc)
+        prune_r = jax.jit(lambda Rb, Wc_, cnt, vp: M.prune_positions_batched(
+            Rb, Wc_, cnt, vp, thr - 5.0, T1, Kc1r, m_cap))
+        coarse_r = jax.jit(lambda Rb, W, pi: M.coarse_scores_gemm_flat_batched_pos(
+            Rb, W, pi, T1, Kc1r, use_pallas=pallas_gather))
+        sel_r = jax.jit(jax.vmap(
+            lambda raw, pi, pk, cnt, vp: M.select_candidates_flat_pos(
+                raw, cnt, vp, pi, pk, thr - 5.0, top_k, Wc),
+            in_axes=(0, 0, 0, None, None)))
+        refine_r = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+            R0, f0, cand, T1, thr, E0=E0r, fine_T=T0, use_pallas=walk_pallas))
+
+        def match_rgb_real(rgbs, depths):
+            R0, R1 = pre_rgb(rgbs, depths)
+            pp = prune_r(R1, Wc_r, f1r.count, vpos_r)
+            raw = coarse_r(R1, Wg_r, pp.p_idx)
+            cand = sel_r(raw, pp.p_idx, pp.p_keep, f1r.count, vpos_r)
+            return refine_r(R0, cand, f0r)
+
+        dt_r = _time(match_rgb_real, iters, rgbs, depths,
+                     label=f"real_rgb_pruned_batch{B}")
+        extra["real_rgb_bank_templates"] = int(Nr)
+        extra["real_rgb_pruned_batch_fps"] = round(B / dt_r, 2)
+        mr = match_rgb_real(rgbs, depths)
+        okr, totr = _found_rate(mr, truths)
+        extra["real_rgb_found"] = f"{okr}/{totr}"
+    except Exception as e:  # pragma: no cover
+        extra["real_rgb_error"] = str(e)[:200]
 
     # Two-object config on the MERGED multi-class path (BASELINE thresholds
     # 92/94): cv::linemod scores every class in one Detector::match call

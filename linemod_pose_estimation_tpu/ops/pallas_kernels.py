@@ -448,7 +448,7 @@ def walk_scores_pallas(
     return jnp.stack(outs, axis=0)
 
 
-def _gather_patch_kernel(Kc: int, KP: int, CL: int):
+def _gather_patch_kernel(Kc: int, KP: int, CL: int, G: int):
     def kernel(meta_ref, L_hbm, out_ref, slab, sem):
         k = pl.program_id(0)
         nk = pl.num_programs(0)
@@ -456,34 +456,41 @@ def _gather_patch_kernel(Kc: int, KP: int, CL: int):
         # One strided DMA per survivor: the (Kc, KP, CL) int32 block at
         # (b, py, px8).  py rides the untiled leading dim (any offset);
         # px8 is 8-aligned for the int32 sublane tile, with the residual
-        # dpx < 8 rolled out on-chip below.  Double-buffered: the next
-        # survivor's block streams in while this one is copied out.
-        def get_dma(idx, slot):
+        # dpx < 8 rolled out on-chip below.  G survivors per grid step
+        # amortize the fixed per-step cost (scalar reads, DMA setup,
+        # branch bookkeeping — measured ~8 us/step at G = 1, which
+        # dominated the whole gather); the G DMAs of the NEXT group are
+        # all in flight while this group is rolled/copied out.
+        def dma_j(idx, slot, j):
             b = meta_ref[0, idx]
             py = meta_ref[1, idx]
             px8 = pl.multiple_of(meta_ref[2, idx], 8)
             return pltpu.make_async_copy(
                 L_hbm.at[b, pl.ds(py, Kc), pl.ds(px8, KP), :],
-                slab.at[slot],
-                sem.at[slot],
+                slab.at[slot, j],
+                sem.at[slot, j],
             )
+
+        def start_group(g, slot):
+            for j in range(G):
+                dma_j(g * G + j, slot, j).start()
 
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k == 0)
         def _():
-            get_dma(0, 0).start()
+            start_group(0, 0)
 
         @pl.when(k + 1 < nk)
         def _():
-            get_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+            start_group(k + 1, jax.lax.rem(k + 1, 2))
 
-        get_dma(k, slot).wait()
-
-        dpx = meta_ref[3, k]
-        for qy in range(Kc):
-            rows = pltpu.roll(slab[slot, qy], -dpx, 0)  # (KP, CL) int32
-            out_ref[0, qy] = rows[:Kc, :]
+        for j in range(G):
+            dma_j(k * G + j, slot, j).wait()
+            dpx = meta_ref[3, k * G + j]
+            for qy in range(Kc):
+                rows = pltpu.roll(slab[slot, j, qy], -dpx, 0)  # (KP, CL) i32
+                out_ref[0, j, qy] = rows[:Kc, :]
 
     return kernel
 
@@ -528,7 +535,7 @@ def gather_cell_patches(
     py = (p_idx // Wc).astype(jnp.int32)
     px = (p_idx % Wc).astype(jnp.int32)
     px8 = (px // 8) * 8
-    # (4, B*m) — row-major with the long axis LAST: SMEM prefetch operands
+    # (4, BM) — row-major with the long axis LAST: SMEM prefetch operands
     # pad the trailing dim to 128 lanes, so (B*m, 4) would blow the 1 MB
     # SMEM budget at production scale (2048 rows -> 1 MB padded).
     meta = jnp.stack(
@@ -540,24 +547,35 @@ def gather_cell_patches(
         ],
         axis=0,
     )
+    # G survivors per grid step (fixed per-step overhead amortization);
+    # pad the survivor axis to a multiple of G with repeats of entry 0.
+    G = 8
+    BM = B * m
+    BMp = _round_up(BM, G)
+    if BMp > BM:
+        meta = jnp.concatenate(
+            [meta, jnp.broadcast_to(meta[:, :1], (4, BMp - BM))], axis=1
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * m,),
+        grid=(BMp // G,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, Kc, Kc, CL), lambda k, *_: (k, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, G, Kc, Kc, CL), lambda k, *_: (k, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Kc, KP, CL), jnp.int32),  # double-buffered
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, G, Kc, KP, CL), jnp.int32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     out32 = pl.pallas_call(
-        _gather_patch_kernel(Kc, KP, CL),
-        out_shape=jax.ShapeDtypeStruct((B * m, Kc, Kc, CL), jnp.int32),
+        _gather_patch_kernel(Kc, KP, CL, G),
+        out_shape=jax.ShapeDtypeStruct((BMp // G, G, Kc, Kc, CL), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, L32)
+    out32 = out32.reshape(BMp, Kc, Kc, CL)[:BM]
     out8 = jax.lax.bitcast_convert_type(out32, jnp.int8)  # (..., CL, 4)
     return out8.reshape(B, m, Kc * Kc * CTT)

@@ -67,7 +67,7 @@ def main():
     E0 = bank.extent(0)
     use_depth = p.use_depth_normal
     C = 16 if use_depth else 8
-    thr, top_k, m_cap = 91.0, 128, 64
+    thr, top_k, m_cap = 91.0, 128, 96
     n0 = bank.num_templates
     reps = max(1, -(-10240 // n0))
     N = ((n0 * reps + 127) // 128) * 128
@@ -94,9 +94,9 @@ def main():
     print(f"bank N={N} C={C} T1={T1} Kc1={Kc1} E0={E0} "
           f"P={P} K_dim={K_dim} W_gemm={W_gemm.nbytes/1e9:.2f} GB")
 
-    pre_b = jax.jit(jax.vmap(lambda rgb, d: M.stack_modalities(
-        M.preprocess_frame(rgb, d, T0=T0, T1=T1, use_depth=use_depth,
-                           weak_threshold=p.color.weak_threshold), use_depth)))
+    pre_b = jax.jit(lambda rgbs, ds: M.preprocess_frames_batched(
+        rgbs, ds, T0=T0, T1=T1, use_depth=use_depth,
+        weak_threshold=p.color.weak_threshold, use_pallas_quant=True))
     vpos = M.position_validity_flat(feats1.size, T1, Hc, Wc)
     prune_b = jax.jit(lambda Rb, Wc_, cnt, vp: M.prune_positions_batched(
         Rb, Wc_, cnt, vp, thr - 5.0, T1, Kc1, m_cap))
