@@ -23,9 +23,14 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# On a low-core host the 8 virtual devices timeshare: later shards'
+# reference-scale GEMMs arrive at the all-gather rendezvous long after the
+# first, and XLA's default 40 s termination timeout aborts the process.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -101,10 +106,18 @@ def main():
         weak_threshold=p.color.weak_threshold, prune=True,
         prune_pos_cap=m_cap, prune_mode="positions", use_pallas_refine=False,
     )
+    # Real bin-picking scenes (rendered views planted on clutter), not
+    # noise: the step_output then proves the sharded step FINDS the
+    # object at reference scale, not merely that it executes.
+    import bench as BM
+    from linemod_pose_estimation_tpu.models.renderer import Renderer
+    meta, glob = TemplateBank.read_params_yaml(prm)
+    r = Renderer("/root/reference/config/stl/boxNew.stl", glob.width,
+                 glob.height, glob.focal_length_x, glob.focal_length_y)
     rng = np.random.default_rng(0)
-    rgbs = jnp.asarray(rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8))
-    depths = jnp.asarray(
-        (900 + rng.normal(scale=20, size=(B, H, W))).astype(np.float32))
+    frames, depths_np, _ = BM._real_scenes(r, meta, B, H, W, rng)
+    rgbs = jnp.asarray(frames)
+    depths = jnp.asarray(depths_np)
     matches, metrics = step(rgbs, depths, sb)
     jax.block_until_ready(matches)
 
