@@ -597,6 +597,47 @@ def prune_positions_batched(
     )
 
 
+@partial(jax.jit, static_argnames=("Kc", "Wc"))
+def gather_cell_patches_onehot(
+    L4: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    Kc: int,
+    Wc: int,
+) -> jnp.ndarray:
+    """Survivor-position patch rows as TWO one-hot int8 MXU contractions.
+
+    L4: (B, Hc + Kc, Wc + Kc, CTT) int8 linearized cell tensor; p_idx:
+    (B, m) flat survivor cells.  Returns (B, m, Kc * Kc * CTT) int8 ==
+    L4[b, py+qy, px+qx, :] stacked in (qy, qx) order — bit-identical to
+    the XLA row gather and to pallas_kernels.gather_cell_patches.
+
+    The 2-D window gather is separable: select the Kc columns per
+    survivor by a one-hot (Wx, Kc) matmul (the 1 KB-row axis where
+    XLA's generic gather is pathological), then the Kc rows by a one-hot
+    (Hy, Kc) matmul.  Responses are <= 4 so int8 x int8 -> int32 is
+    exact, and the intermediates stay int8."""
+    B, Hy, Wx, CTT = L4.shape
+    m = p_idx.shape[1]
+    py = (p_idx // Wc).astype(jnp.int32)
+    px = (p_idx % Wc).astype(jnp.int32)
+    x = jnp.arange(Wx, dtype=jnp.int32)
+    y = jnp.arange(Hy, dtype=jnp.int32)
+    q = jnp.arange(Kc, dtype=jnp.int32)
+    Csel = (
+        x[None, None, :, None] == (px[..., None, None] + q[None, None, None, :])
+    ).astype(jnp.int8)  # (B, m, Wx, Kc)
+    Rsel = (
+        y[None, None, :, None] == (py[..., None, None] + q[None, None, None, :])
+    ).astype(jnp.int8)  # (B, m, Hy, Kc)
+    s1 = jnp.einsum(
+        "byxt,bjxr->bjyrt", L4, Csel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (B, m, Hy, Kc, CTT)
+    s2 = jnp.einsum(
+        "bjyrt,bjyq->bjqrt", s1, Rsel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (B, m, Kc, Kc, CTT) in (qy, qx) order
+    return s2.reshape(B, m, Kc * Kc * CTT)
+
+
 @partial(jax.jit, static_argnames=("T", "Kc", "use_pallas", "interpret"))
 def coarse_scores_gemm_flat_batched_pos(
     Rb: jnp.ndarray,
@@ -616,19 +657,25 @@ def coarse_scores_gemm_flat_batched_pos(
     from the small tensor (column order matches _gemm_patches' block
     concat: (qy*Kc + qx)*C*T*T + lane).
 
-    use_pallas: route the patch assembly through the Pallas strided-DMA
-    gather (pallas_kernels.gather_cell_patches, bit-identical; XLA's
-    generic gather for this access pattern measured ~10x off bandwidth
-    and dominated the whole pruned pass)."""
+    use_pallas: route the patch assembly through the separable one-hot
+    MXU gather (bit-identical).  History of this flag: XLA's generic
+    gather for this access pattern measured ~10x off bandwidth (~35
+    ms/batch-16 at reference scale) and dominated the whole pruned pass;
+    a Pallas strided-DMA kernel (pallas_kernels.gather_cell_patches)
+    brought it to ~13 ms, but its per-survivor (Kc, KP, CL) descriptors
+    move only ~200 KB each and sit ~45x off HBM bandwidth (descriptor
+    overhead), and VMEM-resident variants showed the dynamic sublane
+    slice+roll lowering itself costs ~8.5 us/survivor.  Expressing the
+    2-D window gather as TWO one-hot int8 matmuls (column select over
+    Wx, then row select over Hy — both MXU contractions, ~5e10 MACs at
+    reference scale) measured 7.2 ms and needs no Pallas at all."""
     B, C, H, W = Rb.shape
     Hc, Wc = H // T, W // T
     m_cap = p_idx.shape[1]
     L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
-    if use_pallas and (C * T * T) % 512 == 0:
-        from .pallas_kernels import gather_cell_patches
-
+    if use_pallas:
         L4 = L.astype(jnp.int8)  # (B, Hc+Kc, Wc+Kc, CTT)
-        P_sub = gather_cell_patches(L4, p_idx, Kc, Wc, interpret=interpret)
+        P_sub = gather_cell_patches_onehot(L4, p_idx, Kc, Wc)
     else:
         Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
         py, px = p_idx // Wc, p_idx % Wc  # (B, m_cap) cell coords
