@@ -571,20 +571,24 @@ def prune_positions_batched(
     Hc, Wc = H // T, W // T
     N = W_cell.shape[0]
     P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
+    # int16 accumulation: ub <= 4 * 63 * n_modalities <= 504 fits easily,
+    # and the (B, P, N) tensor — the biggest array in the whole pruned
+    # pass (~816 MB at reference scale in int32) — halves its HBM
+    # round-trip through the margin/max epilogue.
     ub = jax.lax.dot_general(
         P_ub, W_cell,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.int16,
     ).reshape(B, Hc * Wc, N)
     # Integer threshold per template: ub >= t_int  <=>  sim_ub >= thr
     # (ub is integral; slacks only ever ADD survivors).
     t_int = jnp.ceil(
         (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
-    ).astype(jnp.int32)
+    ).astype(jnp.int16)
     margin = jnp.where(
-        vpos_flat[None], ub - t_int[None, None, :], jnp.int32(-(2**30))
+        vpos_flat[None], ub - t_int[None, None, :], jnp.int16(-(2**14))
     )
-    p_score = jnp.max(margin, axis=2)  # (B, P) int32
+    p_score = jnp.max(margin, axis=2).astype(jnp.int32)  # (B, P)
     p_elig = p_score >= 0
     m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
     km = min(m_cap, Hc * Wc)
