@@ -16,6 +16,7 @@ rgbdDetector.cpp:1349-1366) is reproduced by `icp_two_stage`.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -23,6 +24,25 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pointcloud import pairwise_sq_dists
+
+
+def _f32_matmuls(fn):
+    """Pin true-f32 matmuls for the geometry solves at TRACE time.
+
+    TPU f32 matmuls default to bf16 passes; for ICP that is a correctness
+    hazard (the pairwise-distance expansion cancels catastrophically and
+    NN assignment becomes noise — see PERF.md).  The package sets
+    jax_default_matmul_precision globally at import, but that is a
+    mutable global a user's own config.update can silently reset; this
+    context pins the precision for everything traced inside these solvers
+    regardless of ambient config."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class ICPResult(NamedTuple):
@@ -51,6 +71,7 @@ def _kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
+@_f32_matmuls
 def icp(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -99,6 +120,7 @@ def icp(
     return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
 
 
+@_f32_matmuls
 def icp_schedule(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -198,6 +220,7 @@ def _p2plane_delta(cur: jnp.ndarray, tgt: jnp.ndarray, n_tgt: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
+@_f32_matmuls
 def icp_plane(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -246,6 +269,7 @@ def icp_plane(
     return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
 
 
+@_f32_matmuls
 def icp_two_stage_plane(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -312,6 +336,7 @@ def _lm_step(cur: jnp.ndarray, tgt: jnp.ndarray, w: jnp.ndarray, lam: jnp.ndarra
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "lm_iterations"))
+@_f32_matmuls
 def icp_lm(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -389,6 +414,7 @@ def icp_lm(
     return ICPResult(T, fit, ninl.astype(jnp.int32), it, done)
 
 
+@_f32_matmuls
 def icp_nonlinear_schedule(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -418,6 +444,7 @@ def icp_nonlinear_schedule(
     return ICPResult(T_acc, fit, ninl, iters, conv)
 
 
+@_f32_matmuls
 def icp_two_stage(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
