@@ -147,26 +147,31 @@ def _quant_cg_kernel(H: int, W: int, Wp: int, SB: int, weak2: float):
         bin8 = jnp.where(interior, bin8, 0)
         in_img = (growb >= 0) & (growb < H) & (lane < W)
 
-        # 3x3 vote over one-hot planes; zero contribution outside image.
-        votes = []
-        for o in range(8):
-            oh = ((bin8 == o) & in_img).astype(jnp.int32)
-            acc = None
-            for dr in (1, 0, -1):
-                rr = rollr(oh, dr, 0)
-                # Row wrap: rolled-in rows come from outside the slab's
-                # [y0-1, y1+1) working range only at the slab ends, which
-                # are never part of the OUTPUT rows [y0, y1) +-1 window —
-                # and out-of-image rows are already zeroed via in_img.
-                for dc in (1, 0, -1):
-                    v = rollr(rr, dc, 1)
-                    # Lane wrap brings col Wp-1 into col 0: out-of-image
-                    # lanes are zero (in_img), and col -1 must contribute
-                    # zero — mask the wrapped lane explicitly.
-                    if dc == 1:
-                        v = jnp.where(lane == 0, 0, v)
-                    acc = v if acc is None else acc + v
-            votes.append(acc)
+        # 3x3 vote with all 8 orientation counters packed as NIBBLES of
+        # one int32 plane: each 3x3 count is <= 9 < 16, so the 9 shifted
+        # adds never carry across nibbles and ONE roll+add per neighbour
+        # replaces the 8-plane formulation's 72 (the vote was ~60% of the
+        # kernel's VPU ops).  Bin 7's counter rides bits 28-31 — sums
+        # overflow SIGNED int32, but two's-complement adds keep the bit
+        # pattern exact and the arithmetic-shift extraction masks with 15.
+        # Zero contribution outside the image rides the packed zeros.
+        pk = jnp.where(in_img, jnp.int32(1) << (4 * bin8), 0)
+        acc = None
+        for dr in (1, 0, -1):
+            rr = rollr(pk, dr, 0)
+            # Row wrap: rolled-in rows come from outside the slab's
+            # [y0-1, y1+1) working range only at the slab ends, which
+            # are never part of the OUTPUT rows [y0, y1) +-1 window —
+            # and out-of-image rows are already zeroed via in_img.
+            for dc in (1, 0, -1):
+                v = rollr(rr, dc, 1)
+                # Lane wrap brings col Wp-1 into col 0: out-of-image
+                # lanes are zero (in_img), and col -1 must contribute
+                # zero — mask the wrapped lane explicitly.
+                if dc == 1:
+                    v = jnp.where(lane == 0, 0, v)
+                acc = v if acc is None else acc + v
+        votes = [(acc >> (4 * o)) & 15 for o in range(8)]
 
         best = votes[0]
         win = jnp.zeros_like(best)
