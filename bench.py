@@ -324,8 +324,17 @@ def _bench_real_bank(B, iters, extra):
         mr = match_rgb_real(rgbs, depths)
         okr, totr = _found_rate(mr, truths)
         extra["real_rgb_found"] = f"{okr}/{totr}"
+        del Wg_r, Wc_r, f1r, f0r  # release before the merged 2-class pass
     except Exception as e:  # pragma: no cover
         extra["real_rgb_error"] = str(e)[:200]
+
+    # The merged two-class pass doubles the template axis (2N) and its
+    # raw-score tensor; at headline batches > 16 that tips v5e-1 HBM over
+    # (RESOURCE_EXHAUSTED) with the single-class buffers still resident.
+    # Cap these auxiliary sections at 16 frames — their fps is per-frame
+    # and the comparison vs the split baseline is batch-size-matched.
+    B2 = min(B, 16)
+    rgbs2, depths2 = rgbs[:B2], depths[:B2]
 
     # Two-object config on the MERGED multi-class path (BASELINE thresholds
     # 92/94): cv::linemod scores every class in one Detector::match call
@@ -364,15 +373,16 @@ def _bench_real_bank(B, iters, extra):
         def two_object_split(rgbs, depths):
             return match_pruned(rgbs, depths), match_pruned(rgbs, depths)
 
-        dt_m = _time(two_object_merged, iters, rgbs, depths,
-                     label=f"two_object_merged_batch{B}")
-        extra["two_object_batch_fps"] = round(B / dt_m, 2)
-        dt_s = _time(two_object_split, iters, rgbs, depths,
-                     label=f"two_object_split_batch{B}")
-        extra["two_object_split_fps"] = round(B / dt_s, 2)
-        m2 = two_object_merged(rgbs, depths)
-        ok2, tot2 = _found_rate(m2, truths)
+        dt_m = _time(two_object_merged, iters, rgbs2, depths2,
+                     label=f"two_object_merged_batch{B2}")
+        extra["two_object_batch_fps"] = round(B2 / dt_m, 2)
+        dt_s = _time(two_object_split, iters, rgbs2, depths2,
+                     label=f"two_object_split_batch{B2}")
+        extra["two_object_split_fps"] = round(B2 / dt_s, 2)
+        m2 = two_object_merged(rgbs2, depths2)
+        ok2, tot2 = _found_rate(m2, truths[:B2])
         extra["two_object_found"] = f"{ok2}/{tot2}"
+        del W_gemm_m, W_cell_m, f1m, f0m
     except Exception as e:  # pragma: no cover
         extra["two_object_error"] = str(e)[:200]
 
@@ -631,7 +641,11 @@ def main() -> None:
 
     n_templates = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # Batch 32 is the headline sweet spot on v5e-1: the 1.57 GB survivor-
+    # GEMM weight read and fixed dispatch costs amortize over 2x frames
+    # (+5% RGB-D, +13% RGB vs batch 16); beyond that the working set
+    # crowds HBM.  The merged two-class section stays at 16 (see B2).
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     T0, T1 = 5, 8
     E1, E0 = 48, 96
