@@ -22,8 +22,15 @@ import numpy as np
 
 
 def main():
-    tpl = sys.argv[1] if len(sys.argv) > 1 else "/tmp/boxNew_full_templates.yml"
-    prm = sys.argv[2] if len(sys.argv) > 2 else "/tmp/boxNew_full_params.yml"
+    if len(sys.argv) > 2:
+        tpl, prm = sys.argv[1], sys.argv[2]
+    else:
+        # Default to the committed reference-scale banks (RGB-D preferred),
+        # decompressed to /tmp — no prior train run required.
+        import bench as BM
+
+        tpl, prm = BM._gunzip_bank()
+        assert tpl is not None, "no committed bank under data/"
     B, iters = 16, 30
 
     from linemod_pose_estimation_tpu.models.detector import Detector
@@ -47,17 +54,22 @@ def main():
     r = Renderer("/root/reference/config/stl/boxNew.stl", glob.width,
                  glob.height, glob.focal_length_x, glob.focal_length_y)
     ids = [i * max(n // B, 1) for i in range(B)]
-    frames = []
+    use_depth = det.params.use_depth_normal
+    frames, depth_frames = [], []
     for i in ids:
         out = r.render(meta.R[i], meta.T[i])
         frames.append(np.asarray(out.rgb))
+        if use_depth:
+            d = np.asarray(out.depth_mm).astype(np.float32)
+            depth_frames.append(np.where(d > 0, d, 1500.0))
     rgbs = jnp.asarray(np.stack(frames))
+    depths = jnp.asarray(np.stack(depth_frames)) if use_depth else None
 
-    m = bm.match_batch(rgbs)
+    m = bm.match_batch(rgbs, depths)
     jax.block_until_ready(m.similarity)
     t0 = time.perf_counter()
     for _ in range(iters):
-        m = bm.match_batch(rgbs)
+        m = bm.match_batch(rgbs, depths)
     jax.block_until_ready(m.similarity)
     dt = (time.perf_counter() - t0) / iters
     fps = B / dt
@@ -69,6 +81,7 @@ def main():
                     for b in range(B)))
     rec = {
         "backend": jax.default_backend(),
+        "modalities": "RGB-D" if use_depth else "RGB",
         "templates": n,
         "cold_start_load_s": round(load_s, 2),
         "batch": B,
