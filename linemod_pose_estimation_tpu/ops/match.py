@@ -571,24 +571,41 @@ def prune_positions_batched(
     Hc, Wc = H // T, W // T
     N = W_cell.shape[0]
     P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
-    # int16 accumulation: ub <= 4 * 63 * n_modalities <= 504 fits easily,
-    # and the (B, P, N) tensor — the biggest array in the whole pruned
-    # pass (~816 MB at reference scale in int32) — halves its HBM
-    # round-trip through the margin/max epilogue.
-    ub = jax.lax.dot_general(
-        P_ub, W_cell,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int16,
-    ).reshape(B, Hc * Wc, N)
     # Integer threshold per template: ub >= t_int  <=>  sim_ub >= thr
     # (ub is integral; slacks only ever ADD survivors).
-    t_int = jnp.ceil(
+    t_f = jnp.ceil(
         (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
-    ).astype(jnp.int16)
-    margin = jnp.where(
-        vpos_flat[None], ub - t_int[None, None, :], jnp.int16(-(2**14))
     )
-    p_score = jnp.max(margin, axis=2).astype(jnp.int32)  # (B, P)
+
+    def _margin_max(acc_dtype):
+        # int16 accumulation (the production case, nf <= 126): ub = 4 * nf
+        # and t_int both fit comfortably, and the (B, P, N) tensor — the
+        # biggest array in the whole pruned pass (~816 MB at reference
+        # scale in int32) — halves its HBM round-trip through the
+        # margin/max epilogue.  The sentinel is the dtype minimum, below
+        # any real margin.  Banks with nf > 8191 would wrap the int16 dot
+        # (cv::linemod num_features is user-configurable), so an in-graph
+        # cond falls back to int32 for them — exactness never depends on
+        # the feature count.
+        def f():
+            ub = jax.lax.dot_general(
+                P_ub, W_cell,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            ).reshape(B, Hc * Wc, N)
+            t_int = t_f.astype(acc_dtype)
+            sentinel = acc_dtype(jnp.iinfo(acc_dtype).min)
+            margin = jnp.where(
+                vpos_flat[None], ub - t_int[None, None, :], sentinel
+            )
+            return jnp.max(margin, axis=2).astype(jnp.int32)
+
+        return f
+
+    int16_safe = (jnp.max(total_features) <= 8191) & (jnp.max(t_f) <= 32767.0)
+    p_score = jax.lax.cond(
+        int16_safe, _margin_max(jnp.int16), _margin_max(jnp.int32)
+    )  # (B, P)
     p_elig = p_score >= 0
     m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
     km = min(m_cap, Hc * Wc)
@@ -642,7 +659,7 @@ def gather_cell_patches_onehot(
     return s2.reshape(B, m, Kc * Kc * CTT)
 
 
-@partial(jax.jit, static_argnames=("T", "Kc", "use_pallas", "interpret"))
+@partial(jax.jit, static_argnames=("T", "Kc", "use_pallas"))
 def coarse_scores_gemm_flat_batched_pos(
     Rb: jnp.ndarray,
     W_gemm: jnp.ndarray,
@@ -650,7 +667,6 @@ def coarse_scores_gemm_flat_batched_pos(
     T: int,
     Kc: int,
     use_pallas: bool = False,
-    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact coarse GEMM over survivor POSITIONS with the full static
     (K, N) weight matrix: (B, m_cap, N).  No weight gather at all, and no
@@ -734,7 +750,7 @@ def select_candidates_flat_pos(
 
 
 @partial(jax.jit, static_argnames=(
-    "T", "Kc", "m_cap", "top_k", "Wc", "use_pallas", "interpret"
+    "T", "Kc", "m_cap", "top_k", "Wc", "use_pallas"
 ))
 def match_coarse_pruned_with_fallback(
     Rb: jnp.ndarray,
@@ -749,7 +765,6 @@ def match_coarse_pruned_with_fallback(
     top_k: int,
     Wc: int,
     use_pallas: bool = False,
-    interpret: bool = False,
 ) -> tuple[CoarseMatches, PrunePlan]:
     """Position-pruned coarse pass with an IN-GRAPH exhaustive fallback:
     if any frame's survivor-position count exceeds m_cap (PrunePlan.
@@ -769,7 +784,6 @@ def match_coarse_pruned_with_fallback(
     def _pruned(_):
         raw = coarse_scores_gemm_flat_batched_pos(
             Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
-            interpret=interpret,
         )
         return jax.vmap(
             lambda r, pi, pk: select_candidates_flat_pos(
@@ -823,7 +837,7 @@ def concat_level_features(feats_list: list[LevelFeatures]) -> tuple[LevelFeature
 
 @partial(jax.jit, static_argnames=(
     "class_slices", "thresholds", "T", "Kc", "m_cap", "top_k", "Wc",
-    "use_pallas", "interpret"
+    "use_pallas"
 ))
 def match_coarse_pruned_multiclass(
     Rb: jnp.ndarray,
@@ -839,7 +853,6 @@ def match_coarse_pruned_multiclass(
     top_k: int,
     Wc: int,
     use_pallas: bool = False,
-    interpret: bool = False,
 ) -> tuple[list[CoarseMatches], PrunePlan]:
     """Multi-class twin of match_coarse_pruned_with_fallback over a MERGED
     bank (concat_level_features): ONE prune (at min(thresholds), so the
@@ -862,7 +875,6 @@ def match_coarse_pruned_multiclass(
     def _pruned(_):
         raw = coarse_scores_gemm_flat_batched_pos(
             Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
-            interpret=interpret,
         )
         out = []
         for col, thr_c in zip(cls_cols, thresholds):
@@ -1596,6 +1608,23 @@ def preprocess_frame(
     return FramePyramid(g_r0, g_r1, n_r0, n_r1)
 
 
+def subsample2_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """x[:, ::2, ::2] for (B, H, W) uint8 without the strided LANE slice
+    (~1.8 ms/batch-16 relayout on v5e): even rows come out as a contiguous
+    block slice through a reshape, and even columns as the low byte of a
+    uint16 bitcast of lane pairs — all lane-aligned ops, bit-identical.
+    Odd trailing rows/columns fall back to the strided slice on that axis
+    (matching the ceil(H/2) x ceil(W/2) shape of the plain slice)."""
+    B_, H_, W_ = x.shape
+    if H_ % 2 or W_ % 2:
+        return x[:, ::2, ::2]
+    rows = x.reshape(B_, H_ // 2, 2, W_)[:, :, 0, :]
+    pairs = jax.lax.bitcast_convert_type(
+        rows.reshape(B_, H_ // 2, W_ // 2, 2), jnp.uint16
+    )
+    return (pairs & jnp.uint16(0xFF)).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=(
     "T0", "T1", "use_depth", "weak_threshold", "use_pallas_quant"
 ))
@@ -1646,17 +1675,7 @@ def preprocess_frames_batched(
         n_r0 = respond_b(n0, T0)
         # Level 1 = subsample of the level-0 quantized normals (the
         # engine's DepthNormalPyramid::pyrDown semantics, probed exact).
-        # n0[:, ::2, ::2] is a strided LANE slice (~1.8 ms/batch-16
-        # relayout on v5e); even rows come out as a contiguous block
-        # slice through a reshape, and even columns as the low byte of an
-        # int16 bitcast of lane pairs — all lane-aligned ops.
-        B_, H_, W_ = n0.shape
-        n_even_rows = n0.reshape(B_, H_ // 2, 2, W_)[:, :, 0, :]
-        n16 = jax.lax.bitcast_convert_type(
-            n_even_rows.reshape(B_, H_ // 2, W_ // 2, 2), jnp.uint16
-        )
-        n_sub = (n16 & jnp.uint16(0xFF)).astype(jnp.uint8)
-        n_r1 = respond_b(n_sub, T1)
+        n_r1 = respond_b(subsample2_u8(n0), T1)
         return (
             jnp.concatenate([g_r0, n_r0], axis=1),
             jnp.concatenate([g_r1, n_r1], axis=1),

@@ -12,11 +12,10 @@ Two ops dominate the non-GEMM frame time (profiled on v5e):
    each candidate's response patch is DMA'd into VMEM once and the 63
    feature slices accumulate on the VPU.
 
-3. gather_cell_patches: survivor-position patch assembly for the pruned
-   coarse GEMM.  XLA lowers the (B, m, Kc^2) row gather to a generic
-   gather ~10x off HBM bandwidth (measured ~2.2 ms/frame at reference
-   scale — dominating the pruned path); here each survivor's (Kc, Kc)
-   cell block is ONE strided DMA, double-buffered.
+(A third kernel — a strided-DMA survivor-patch gather — used to live
+here; it was retired when the separable one-hot MXU formulation in
+ops.match.gather_cell_patches_onehot measured ~2x faster with no
+Pallas at all.  See PERF.md "Gathers are matmuls".)
 
 All have jittable XLA twins in ops.match / ops.features that serve as the
 bit-exact reference implementations (equality-tested; the twins also run in
@@ -446,136 +445,3 @@ def walk_scores_pallas(
         for b in range(B)
     ]
     return jnp.stack(outs, axis=0)
-
-
-def _gather_patch_kernel(Kc: int, KP: int, CL: int, G: int):
-    def kernel(meta_ref, L_hbm, out_ref, slab, sem):
-        k = pl.program_id(0)
-        nk = pl.num_programs(0)
-
-        # One strided DMA per survivor: the (Kc, KP, CL) int32 block at
-        # (b, py, px8).  py rides the untiled leading dim (any offset);
-        # px8 is 8-aligned for the int32 sublane tile, with the residual
-        # dpx < 8 rolled out on-chip below.  G survivors per grid step
-        # amortize the fixed per-step cost (scalar reads, DMA setup,
-        # branch bookkeeping — measured ~8 us/step at G = 1, which
-        # dominated the whole gather); the G DMAs of the NEXT group are
-        # all in flight while this group is rolled/copied out.
-        def dma_j(idx, slot, j):
-            b = meta_ref[0, idx]
-            py = meta_ref[1, idx]
-            px8 = pl.multiple_of(meta_ref[2, idx], 8)
-            return pltpu.make_async_copy(
-                L_hbm.at[b, pl.ds(py, Kc), pl.ds(px8, KP), :],
-                slab.at[slot, j],
-                sem.at[slot, j],
-            )
-
-        def start_group(g, slot):
-            for j in range(G):
-                dma_j(g * G + j, slot, j).start()
-
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k == 0)
-        def _():
-            start_group(0, 0)
-
-        @pl.when(k + 1 < nk)
-        def _():
-            start_group(k + 1, jax.lax.rem(k + 1, 2))
-
-        for j in range(G):
-            dma_j(k * G + j, slot, j).wait()
-            dpx = meta_ref[3, k * G + j]
-            for qy in range(Kc):
-                rows = pltpu.roll(slab[slot, j, qy], -dpx, 0)  # (KP, CL) i32
-                out_ref[0, j, qy] = rows[:Kc, :]
-
-    return kernel
-
-
-@partial(jax.jit, static_argnames=("Kc", "Wc", "interpret"))
-def gather_cell_patches(
-    L4: jnp.ndarray,
-    p_idx: jnp.ndarray,
-    Kc: int,
-    Wc: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Survivor-position patch rows for the pruned coarse GEMM.
-
-    L4: (B, Hc + Kc, Wc + Kc, CTT) int8 linearized cell tensor
-        (ops.match.linearize_responses_lanes layout; CTT % 512 == 0 so the
-        int32 view keeps 128-lane alignment).
-    p_idx: (B, m) int32 flat survivor cells (py * Wc + px).
-    Returns (B, m, Kc * Kc * CTT) int8 == L4[b, py+qy, px+qx, :] stacked in
-    (qy, qx) order — bit-identical to the XLA gather in
-    ops.match.coarse_scores_gemm_flat_batched_pos.
-    """
-    B, Hy, Wx, CTT = L4.shape
-    assert CTT % 512 == 0, "lane dim must stay 128-aligned as int32"
-    CL = CTT // 4
-    m = p_idx.shape[1]
-    # The slab's sublane count must be a POWER OF TWO: Mosaic's dynamic
-    # sublane rotate silently mis-rotates at other sizes (measured on v5e:
-    # 16/32 exact, 24/40 corrupt every non-8-aligned survivor — same
-    # failure family as the lane-rotate constraint in refine_scores_pallas).
-    KP = 16
-    while KP < Kc + 8:
-        KP *= 2
-    # DMA bound: px8 <= ((Wc-1)//8)*8 needs px8 + KP columns available.
-    Wx_pad = max(Wx, ((Wc - 1) // 8) * 8 + KP)
-    if Wx_pad > Wx:
-        L4 = jnp.pad(L4, [(0, 0), (0, 0), (0, Wx_pad - Wx), (0, 0)])
-    L32 = jax.lax.bitcast_convert_type(
-        L4.reshape(B, Hy, Wx_pad, CL, 4), jnp.int32
-    )  # (B, Hy, Wx_pad, CL)
-
-    py = (p_idx // Wc).astype(jnp.int32)
-    px = (p_idx % Wc).astype(jnp.int32)
-    px8 = (px // 8) * 8
-    # (4, BM) — row-major with the long axis LAST: SMEM prefetch operands
-    # pad the trailing dim to 128 lanes, so (B*m, 4) would blow the 1 MB
-    # SMEM budget at production scale (2048 rows -> 1 MB padded).
-    meta = jnp.stack(
-        [
-            jnp.repeat(jnp.arange(B, dtype=jnp.int32), m),
-            py.reshape(-1),
-            px8.reshape(-1),
-            (px - px8).reshape(-1),
-        ],
-        axis=0,
-    )
-    # G survivors per grid step (fixed per-step overhead amortization);
-    # pad the survivor axis to a multiple of G with repeats of entry 0.
-    G = 8
-    BM = B * m
-    BMp = _round_up(BM, G)
-    if BMp > BM:
-        meta = jnp.concatenate(
-            [meta, jnp.broadcast_to(meta[:, :1], (4, BMp - BM))], axis=1
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(BMp // G,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, G, Kc, Kc, CL), lambda k, *_: (k, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, G, Kc, KP, CL), jnp.int32),  # double-buffered
-            pltpu.SemaphoreType.DMA((2, G)),
-        ],
-    )
-    out32 = pl.pallas_call(
-        _gather_patch_kernel(Kc, KP, CL, G),
-        out_shape=jax.ShapeDtypeStruct((BMp // G, G, Kc, Kc, CL), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(meta, L32)
-    out32 = out32.reshape(BMp, Kc, Kc, CL)[:BM]
-    out8 = jax.lax.bitcast_convert_type(out32, jnp.int8)  # (..., CL, 4)
-    return out8.reshape(B, m, Kc * Kc * CTT)

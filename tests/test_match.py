@@ -130,3 +130,18 @@ def test_response_maps_graded_similarity_lut():
     R = F.response_maps(quant)
     assert int(R[1, 0, 0]) == 3  # distance 1 to bit0 beats distance 2 to bit3
     assert int(R[5, 0, 0]) == 2  # distance 2 to bit3
+
+
+def test_subsample2_u8_matches_strided_slice(rng):
+    """The bitcast lane-pair subsample (production TPU depth level-1 path)
+    must equal n0[:, ::2, ::2] bit-for-bit, including odd-dim fallbacks."""
+    import jax.numpy as jnp
+
+    from linemod_pose_estimation_tpu.ops import match as M
+
+    for shape in ((3, 480, 640), (2, 64, 96), (1, 63, 96), (1, 64, 95),
+                  (1, 37, 41)):
+        x = jnp.asarray(rng.integers(0, 256, size=shape).astype(np.uint8))
+        got = M.subsample2_u8(x)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(x)[:, ::2, ::2])

@@ -65,43 +65,6 @@ def test_refine_scores_matches_slices(rng):
     sim = 100.0 * best_raw / (4.0 * np.maximum(np.asarray(feats0.count[t]), 1))
     np.testing.assert_allclose(sim, np.asarray(ref.similarity), atol=1e-4)
 
-
-def test_gather_cell_patches_matches_xla(rng):
-    """Pallas survivor-patch gather == the XLA gather formulation, at a
-    reference-like geometry (CTT % 512 == 0, arbitrary px residuals)."""
-    from linemod_pose_estimation_tpu.ops import match as M
-
-    T, C, Kc = 8, 8, 5  # CTT = 512
-    B, H, W = 2, 96, 168
-    Hc, Wc = H // T, W // T
-    Rb = jnp.asarray(rng.integers(0, 5, size=(B, C, H, W)).astype(np.uint8))
-    m = 16
-    p_idx = jnp.asarray(
-        rng.integers(0, Hc * Wc, size=(B, m)).astype(np.int32)
-    )
-    # Force edge cells (max py, px and every px % 8 residual) into the set.
-    p_idx = p_idx.at[0, 0].set(Hc * Wc - 1)
-    for r in range(8):
-        p_idx = p_idx.at[1, r].set(2 * Wc + min(r + Wc - 8, Wc - 1))
-
-    L = jax.vmap(lambda R: M.linearize_responses_lanes(R, T, Kc))(Rb)
-    L4 = L.astype(jnp.int8)
-    # On a real TPU, exercise the HARDWARE kernel (interpret mode passed a
-    # dynamic-sublane-roll miscompile that only the chip exhibits).
-    interp = jax.default_backend() == "cpu"
-    got = PK.gather_cell_patches(L4, p_idx, Kc, Wc, interpret=interp)
-
-    Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
-    py, px = p_idx // Wc, p_idx % Wc
-    q = jnp.arange(Kc, dtype=jnp.int32)
-    cell = (
-        (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
-        + (px[..., None, None] + q[None, None, None, :])
-    ).reshape(B, m, Kc * Kc)
-    ref = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell).reshape(B, m, -1)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-
 def test_coarse_pos_pallas_equals_xla(rng):
     """End-to-end: the pruned coarse GEMM with use_pallas=True returns the
     exact same raw scores as the XLA-gather path."""
@@ -125,6 +88,5 @@ def test_coarse_pos_pallas_equals_xla(rng):
     ref = M.coarse_scores_gemm_flat_batched_pos(Rb, Wg, p_idx, T, Kc)
     got = M.coarse_scores_gemm_flat_batched_pos(
         Rb, Wg, p_idx, T, Kc, use_pallas=True,
-        interpret=jax.default_backend() == "cpu",
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -331,3 +331,57 @@ def test_fallback_on_overflow_equals_exhaustive(rng):
     for b in range(B):
         got = _valid_set(M.CoarseMatches(*(a[b] for a in cands2)))
         assert got == ref_sets[b]
+
+
+def test_prune_int32_fallback_for_large_feature_counts(rng):
+    """Banks whose total_features exceed the int16-safe bound (nf > 8191,
+    or t_int > 32767) must take the in-graph int32 margin path and keep
+    the survivor plan identical to a small-count bank scaled the same way:
+    only the count SCALE changes the threshold, so a bank with counts
+    multiplied by k and threshold t has the same eligibility as the
+    original at t (t_int scales linearly).  Regression for the int16
+    accumulation wrap (advisor round 4)."""
+    n, thr = 32, 80.0
+    feats = _bank(rng, n)
+    Rb = jnp.asarray(_frames(rng, b=1, sparse=0.5, hi=3))
+    _, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    small = M.prune_positions_batched(Rb, W_cell, feats.count, vpos, thr,
+                                      T1, KC, m_cap=Hc * Wc)
+    # Same bank, counts scaled x256 (well past the int16-safe 8191): the
+    # integer thresholds scale by exactly 256 too, so eligibility — ub
+    # being 4*count-scaled is NOT true for W_cell (weights unchanged), so
+    # instead drive the int32 path and check it against a hand-computed
+    # int32 reference margin.
+    big_counts = feats.count.astype(jnp.int32) * 256
+    big = M.prune_positions_batched(Rb, W_cell, big_counts, vpos, thr, T1,
+                                    KC, m_cap=Hc * Wc)
+    # Hand reference in plain int32.
+    P_ub = M._ub_patches(Rb[0], T1, KC)
+    ub = jnp.einsum("pk,nk->pn", P_ub.astype(jnp.int32),
+                    W_cell.astype(jnp.int32))
+    t_int = jnp.ceil((thr - 1e-3) * 0.04
+                     * big_counts.astype(jnp.float32) - 1e-4).astype(jnp.int32)
+    margin = jnp.where(vpos, ub - t_int[None, :], -(2 ** 30))
+    p_score = jnp.max(margin, axis=1)
+    ref_elig = set(np.flatnonzero(np.asarray(p_score) >= 0).tolist())
+    got_elig = {
+        int(p) for p, k in zip(np.asarray(big.p_idx[0]),
+                               np.asarray(big.p_keep[0])) if k
+    }
+    assert got_elig == ref_elig
+    assert int(big.m_survivors[0]) == len(ref_elig)
+    # And the small-count path (int16) still matches its own int32 hand
+    # reference (the cond's other branch).
+    t16 = jnp.ceil((thr - 1e-3) * 0.04
+                   * feats.count.astype(jnp.float32) - 1e-4).astype(jnp.int32)
+    m16 = jnp.where(vpos, ub - t16[None, :], -(2 ** 30))
+    ref16 = set(np.flatnonzero(np.asarray(jnp.max(m16, axis=1)) >= 0).tolist())
+    got16 = {
+        int(p) for p, k in zip(np.asarray(small.p_idx[0]),
+                               np.asarray(small.p_keep[0])) if k
+    }
+    assert got16 == ref16

@@ -22,6 +22,10 @@ import numpy as np
 
 
 def main():
+    if len(sys.argv) == 2:
+        sys.exit("usage: bench_real_bank.py [templates.yml params.yml] — "
+                 "pass BOTH paths or neither (neither = the committed "
+                 "reference-scale bank)")
     if len(sys.argv) > 2:
         tpl, prm = sys.argv[1], sys.argv[2]
     else:
