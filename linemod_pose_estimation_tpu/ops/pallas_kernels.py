@@ -44,6 +44,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _graded_response_planes(s):
+    """Spread bitmask (int32 plane of 8-bit values) -> list of 8 graded
+    response planes (int32, values 0..4).
+
+    Identity used (bit-exact with the distance_masks/RESPONSE_BY_DISTANCE
+    select chain): with s_d the CIRCULAR radius-d OR-dilation of s over the
+    8 orientation bins, the dilations nest (s_0 <= s_1 <= s_2 <= s_3), so
+      response[o] = sum_{d=0..3} bit_o(s_d)
+    equals 4 - (circular distance from o to the nearest set bit), i.e. the
+    graded 4/3/2/1/0 LUT.  All 8 responses are then built at once by
+    expanding each 8-bit s_d into 8 NIBBLES of one int32 plane (bit o ->
+    bit 4o) and summing — each nibble holds one orientation's response.
+    """
+    def dil1(x):  # circular OR-dilation by 1 over the 8 bins
+        rol = ((x << 1) | (x >> 7)) & 255
+        ror = ((x >> 1) | (x << 7)) & 255
+        return x | rol | ror
+
+    def nib(x):  # 8 bits -> 8 nibbles (bit o -> bit 4o)
+        x = (x | (x << 12)) & 0x000F000F
+        x = (x | (x << 6)) & 0x03030303
+        return (x | (x << 3)) & 0x11111111
+
+    s1 = dil1(s)
+    s2 = dil1(s1)
+    s3 = dil1(s2)
+    packed = nib(s) + nib(s1) + nib(s2) + nib(s3)
+    return [(packed >> (4 * o)) & 15 for o in range(8)]
+
+
 def _spread_response_kernel(T: int, TH: int, W: int, halo: int,
                             batched: bool = False):
     def kernel(q_hbm, out_ref, q_tile, sem):
@@ -56,16 +86,14 @@ def _spread_response_kernel(T: int, TH: int, W: int, halo: int,
         dma.start()
         dma.wait()
 
-        s = jnp.zeros((TH, W), jnp.int32)
-        for r in range(T):
-            for c in range(T):
-                s = s | q_tile[r : r + TH, c : c + W]
-        for o in range(8):
-            masks = distance_masks(o)
-            resp = jnp.zeros((TH, W), jnp.int32)
-            # Graded LUT: nearest set bit wins (4/3/2/1/0 by circ distance).
-            for d in range(3, -1, -1):
-                resp = jnp.where((s & masks[d]) != 0, RESPONSE_BY_DISTANCE[d], resp)
+        # Separable TxT box OR-dilation: rows then cols (2T ORs, not T^2).
+        sr = q_tile[0:TH, :]
+        for r in range(1, T):
+            sr = sr | q_tile[r : r + TH, :]
+        s = sr[:, 0:W]
+        for c in range(1, T):
+            s = s | sr[:, c : c + W]
+        for o, resp in enumerate(_graded_response_planes(s)):
             out_ref[o, :, :] = resp.astype(jnp.int8)
 
     return kernel

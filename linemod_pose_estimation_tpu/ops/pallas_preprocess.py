@@ -37,7 +37,9 @@ from .features import (
     _ATAN_P1, _ATAN_P3, _ATAN_P5, _ATAN_P7, _DBL_EPS_F, _GAUSS7_Q6,
 )
 
-_SB = 24  # output rows per grid step
+_SB = 120  # output rows per grid step (measured best on v5e: 120 rows
+# amortize the per-step sync DMA + grid overhead; 480 overflows the
+# remote compile helper, 24 costs ~20% more)
 
 
 def _round_up(x: int, m: int) -> int:
