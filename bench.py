@@ -201,6 +201,11 @@ def _bench_real_bank(B, iters, extra):
     # is linear in the cap).  LPE_BENCH_MCAP overrides for tuning runs.
     thr, top_k = 91.0, 128
     m_cap = int(os.environ.get("LPE_BENCH_MCAP", "96"))
+    # Fine-stage (g=4 subcell bound) position cap: real scenes measure
+    # mean ~28 / max ~38 fine survivors of the ~46 coarse ones, so 48
+    # keeps headroom; overflow falls back in-graph to the coarse set.
+    m2_cap = int(os.environ.get("LPE_BENCH_M2CAP", "48"))
+    fine_g = 4
 
     n0 = bank.num_templates
     reps = max(1, -(-10240 // n0))  # tile UP to >= 10240
@@ -212,7 +217,8 @@ def _bench_real_bank(B, iters, extra):
 
     W_gemm = M.build_gemm_weights(feats1, C, T1, Kc1)
     W_cell = M.build_cell_weights(feats1, C, T1, Kc1)
-    jax.block_until_ready((W_gemm, W_cell))
+    W_fine = M.build_cell_weights_fine(feats1, C, T1, Kc1, fine_g)
+    jax.block_until_ready((W_gemm, W_cell, W_fine))
 
     rng = np.random.default_rng(3)
     r = Renderer("/root/reference/config/stl/boxNew.stl", glob.width,
@@ -227,15 +233,14 @@ def _bench_real_bank(B, iters, extra):
         weak_threshold=p.color.weak_threshold, use_pallas_quant=pq))
     Hc, Wc = glob.height // 2 // T1, glob.width // 2 // T1
     vpos = M.position_validity_flat(feats1.size, T1, Hc, Wc)
-    prune_b = jax.jit(lambda Rb, Wc_, cnt, vp: M.prune_positions_batched(
-        Rb, Wc_, cnt, vp, thr - 5.0, T1, Kc1, m_cap))
     pallas_gather = jax.default_backend() != "cpu"
-    coarse_pos = jax.jit(lambda Rb, W, pi: M.coarse_scores_gemm_flat_batched_pos(
-        Rb, W, pi, T1, Kc1, use_pallas=pallas_gather))
-    sel_pos = jax.jit(jax.vmap(
-        lambda raw, pi, pk, cnt, vp: M.select_candidates_flat_pos(
-            raw, cnt, vp, pi, pk, thr - 5.0, top_k, Wc),
-        in_axes=(0, 0, 0, None, None)))
+    # The production orchestrator: coarse bound -> fine subcell re-test ->
+    # exact GEMM over fine survivors, with both in-graph exact fallbacks.
+    orch_b = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
+                     M.match_coarse_pruned_fine_with_fallback(
+                         Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1, Kc1,
+                         fine_g, m_cap, m2_cap, top_k, Wc,
+                         use_pallas=pallas_gather))
     coarse_ex = jax.jit(lambda Rb, W: M.coarse_scores_gemm_flat_batched(Rb, W, T1, Kc1))
     sel_ex = jax.jit(jax.vmap(
         lambda raw, cnt, vp: M.select_candidates_flat(raw, cnt, vp, thr - 5.0,
@@ -245,11 +250,9 @@ def _bench_real_bank(B, iters, extra):
     refine_b = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
         R0, f0, cand, T1, thr, E0=E0, fine_T=T0, use_pallas=walk_pallas))
 
-    def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell):
+    def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
         R0, R1 = pre_b(rgbs, depths)
-        pp = prune_b(R1, Wc, feats1.count, vpos)
-        raw = coarse_pos(R1, Wg, pp.p_idx)
-        cand = sel_pos(raw, pp.p_idx, pp.p_keep, feats1.count, vpos)
+        cand, _pp, _fp = orch_b(R1, Wg, Wc, Wf, feats1.count, vpos)
         return refine_b(R0, cand, feats0)
 
     def match_ex(rgbs, depths):
@@ -266,7 +269,8 @@ def _bench_real_bank(B, iters, extra):
     m_ex = match_ex(rgbs, depths)
     ok_p, tot = _found_rate(m_pr, truths)
     ok_e, _ = _found_rate(m_ex, truths)
-    pp = prune_b(pre_b(rgbs, depths)[1], W_cell, feats1.count, vpos)
+    _, pp, fp = orch_b(pre_b(rgbs, depths)[1], W_gemm, W_cell, W_fine,
+                       feats1.count, vpos)
     extra["real_bank_templates"] = int(N)
     extra["real_bank_modalities"] = "RGB-D" if use_depth else "RGB"
     extra["real_exhaustive_fps"] = round(B / dt_ex, 2)
@@ -274,7 +278,10 @@ def _bench_real_bank(B, iters, extra):
     extra["real_found_exhaustive"] = f"{ok_e}/{tot}"
     extra["real_prune_pos_survivors_mean"] = round(
         float(np.asarray(pp.m_survivors).mean()), 1)
+    extra["real_fine_pos_survivors_mean"] = round(
+        float(np.asarray(fp.m_survivors).mean()), 1)
     extra["real_prune_overflow"] = bool(pp.overflow)
+    extra["real_fine_overflow"] = bool(fp.overflow)
     # Single-frame latency through the pruned production path.
     dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
@@ -299,22 +306,18 @@ def _bench_real_bank(B, iters, extra):
             rgbs, depths, T0=T0, T1=T1, use_depth=False,
             weak_threshold=p.color.weak_threshold, use_pallas_quant=pq))
         vpos_r = M.position_validity_flat(f1r.size, T1, Hc, Wc)
-        prune_r = jax.jit(lambda Rb, Wc_, cnt, vp: M.prune_positions_batched(
-            Rb, Wc_, cnt, vp, thr - 5.0, T1, Kc1r, m_cap))
-        coarse_r = jax.jit(lambda Rb, W, pi: M.coarse_scores_gemm_flat_batched_pos(
-            Rb, W, pi, T1, Kc1r, use_pallas=pallas_gather))
-        sel_r = jax.jit(jax.vmap(
-            lambda raw, pi, pk, cnt, vp: M.select_candidates_flat_pos(
-                raw, cnt, vp, pi, pk, thr - 5.0, top_k, Wc),
-            in_axes=(0, 0, 0, None, None)))
+        Wf_r = M.build_cell_weights_fine(f1r, 8, T1, Kc1r, fine_g)
+        orch_r = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
+                         M.match_coarse_pruned_fine_with_fallback(
+                             Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1, Kc1r,
+                             fine_g, m_cap, m2_cap, top_k, Wc,
+                             use_pallas=pallas_gather))
         refine_r = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
             R0, f0, cand, T1, thr, E0=E0r, fine_T=T0, use_pallas=walk_pallas))
 
         def match_rgb_real(rgbs, depths):
             R0, R1 = pre_rgb(rgbs, depths)
-            pp = prune_r(R1, Wc_r, f1r.count, vpos_r)
-            raw = coarse_r(R1, Wg_r, pp.p_idx)
-            cand = sel_r(raw, pp.p_idx, pp.p_keep, f1r.count, vpos_r)
+            cand, _pp, _fp = orch_r(R1, Wg_r, Wc_r, Wf_r, f1r.count, vpos_r)
             return refine_r(R0, cand, f0r)
 
         dt_r = _time(match_rgb_real, iters, rgbs, depths,
@@ -324,7 +327,7 @@ def _bench_real_bank(B, iters, extra):
         mr = match_rgb_real(rgbs, depths)
         okr, totr = _found_rate(mr, truths)
         extra["real_rgb_found"] = f"{okr}/{totr}"
-        del Wg_r, Wc_r, f1r, f0r  # release before the merged 2-class pass
+        del Wg_r, Wc_r, Wf_r, f1r, f0r  # release before the merged 2-class pass
     except Exception as e:  # pragma: no cover
         extra["real_rgb_error"] = str(e)[:200]
 
@@ -350,22 +353,24 @@ def _bench_real_bank(B, iters, extra):
         f0m, _ = M.concat_level_features([feats0, feats0])
         W_gemm_m = M.build_gemm_weights(f1m, C, T1, Kc1)
         W_cell_m = M.build_cell_weights(f1m, C, T1, Kc1)
-        jax.block_until_ready((W_gemm_m, W_cell_m))
+        W_fine_m = M.build_cell_weights_fine(f1m, C, T1, Kc1, fine_g)
+        jax.block_until_ready((W_gemm_m, W_cell_m, W_fine_m))
         slices = ((0, N), (N, 2 * N))
         vpos_m = M.position_validity_flat(f1m.size, T1, Hc, Wc)
         # Weights/features as ARGUMENTS: closing over them embeds ~3 GB of
         # HLO constants (see the module docstring's remote-compile note).
-        match_mc = jax.jit(lambda Rb, Wg, Wc_, cnt, vp: M.match_coarse_pruned_multiclass(
-            Rb, Wg, Wc_, cnt, vp, slices,
+        match_mc = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp: M.match_coarse_pruned_multiclass(
+            Rb, Wg, Wc_, Wf, cnt, vp, slices,
             (thr_a - 5.0, thr_b - 5.0), T1, Kc1, m_cap, top_k, Wc,
-            use_pallas=pallas_gather))
+            g=fine_g, m2_cap=m2_cap, use_pallas=pallas_gather))
         refine_mc = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
             R0, f0, cand, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
             use_pallas=walk_pallas))
 
         def two_object_merged(rgbs, depths):
             R0, R1 = pre_b(rgbs, depths)
-            cands, _ = match_mc(R1, W_gemm_m, W_cell_m, f1m.count, vpos_m)
+            cands, _ = match_mc(R1, W_gemm_m, W_cell_m, W_fine_m, f1m.count,
+                                vpos_m)
             cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
                                     for a in zip(*cands)))
             return refine_mc(R0, cat, f0m)
@@ -382,7 +387,7 @@ def _bench_real_bank(B, iters, extra):
         m2 = two_object_merged(rgbs2, depths2)
         ok2, tot2 = _found_rate(m2, truths[:B2])
         extra["two_object_found"] = f"{ok2}/{tot2}"
-        del W_gemm_m, W_cell_m, f1m, f0m
+        del W_gemm_m, W_cell_m, W_fine_m, f1m, f0m
     except Exception as e:  # pragma: no cover
         extra["two_object_error"] = str(e)[:200]
 
@@ -392,7 +397,7 @@ def _bench_real_bank(B, iters, extra):
     # (the synthetic-noise e2e never converges and runs all 150 iters).
     try:
         p50, dev = _e2e_real_ms(match_pruned, meta, glob, frames, depths_np,
-                                reps, weights=(W_gemm, W_cell))
+                                reps, weights=(W_gemm, W_cell, W_fine))
         extra["real_e2e_p50_ms"] = round(p50, 2)
         extra["real_e2e_device_ms"] = round(dev, 2)
     except Exception as e:  # pragma: no cover
@@ -471,21 +476,21 @@ def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15,
     # costs ~3.6 ms — more than some stages' device time.  Fusing
     # match + slice + pose into a single program is both the honest
     # serving shape and removes ~10 dispatches/frame.
-    Wg, Wc = weights
+    Wg, Wc, Wf = weights
 
     @jax.jit
-    def one_frame_fused(rgb, dep, cloud, Wg, Wc):
-        m = match_frames(rgb, dep, Wg, Wc)
+    def one_frame_fused(rgb, dep, cloud, Wg, Wc, Wf):
+        m = match_frames(rgb, dep, Wg, Wc, Wf)
         m1 = M.Matches(*(a[0] for a in m))
         return pose_stage(m1, cloud)
 
-    pose, valid = one_frame_fused(rgb1, dep1, cloud, Wg, Wc)
+    pose, valid = one_frame_fused(rgb1, dep1, cloud, Wg, Wc, Wf)
     jax.block_until_ready(pose)
     _log(f"real_e2e: {int(np.asarray(valid).sum())} verified hypotheses")
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(one_frame_fused(rgb1, dep1, cloud, Wg, Wc))
+        jax.block_until_ready(one_frame_fused(rgb1, dep1, cloud, Wg, Wc, Wf))
         ts.append((time.perf_counter() - t0) * 1e3)
     # Device time per frame: back-to-back dispatches, ONE block at the end.
     # In this environment a single block_until_ready costs a ~30 ms tunnel
@@ -494,7 +499,7 @@ def _e2e_real_ms(match_frames, meta, glob, frames, depths_np, reps, iters=15,
     # constant; the pipelined figure is the device-bound bound.
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = one_frame_fused(rgb1, dep1, cloud, Wg, Wc)
+        out = one_frame_fused(rgb1, dep1, cloud, Wg, Wc, Wf)
     jax.block_until_ready(out)
     device_ms = (time.perf_counter() - t0) / iters * 1e3
     return float(np.percentile(ts, 50)), float(device_ms)

@@ -39,11 +39,22 @@ class BatchedMatcher:
     overflow `prune_pos_cap`, so results are UNCONDITIONALLY exact (the
     reference engine scores every position — rgbdDetector.cpp:31-34).
     `self.last_prune` (a PrunePlan, device-side) reports survivor counts
-    and whether the most recent batch took the fallback."""
+    and whether the most recent batch took the fallback.
+
+    `fine_g` adds the second pruning stage in "positions" mode: a g x g
+    subcell max bound re-tested at the coarse survivors kills the ~40%
+    of them (measured on real bin-picking scenes) whose T x T cell-max
+    bound was optimistic, compacting to `fine_pos_cap` positions before
+    the exact GEMM (which is linear in the position count).  Exactness is
+    unchanged — the fine bound still dominates the exact score, and its
+    own in-graph fallback re-runs the coarse survivor set on overflow
+    (`self.last_fine`, a FinePlan, reports it).  `fine_g=None` disables
+    the stage."""
 
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
                  top_k: int = 256, prune: bool = False, prune_cap: int = 1024,
-                 prune_pos_cap: int = 256, prune_mode: str = "positions"):
+                 prune_pos_cap: int = 256, prune_mode: str = "positions",
+                 fine_g: int | None = 4, fine_pos_cap: int | None = None):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -61,7 +72,10 @@ class BatchedMatcher:
         self.prune_mode = prune_mode
         self.prune_cap = min(prune_cap, int(self.feats1.oris.shape[0]))
         self.prune_pos_cap = prune_pos_cap
+        self.fine_g = fine_g if self.T1 % (fine_g or 1) == 0 else None
+        self.fine_pos_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
         self.last_prune = None
+        self.last_fine = None
         if prune:
             n_mod = 2 if self.use_depth else 1
             if prune_mode == "two_axis":
@@ -69,6 +83,10 @@ class BatchedMatcher:
             self.W_cell = M.build_cell_weights(
                 self.feats1, 8 * n_mod, self.T1, self.Kc1
             )
+            if prune_mode == "positions" and self.fine_g:
+                self.W_fine = M.build_cell_weights_fine(
+                    self.feats1, 8 * n_mod, self.T1, self.Kc1, self.fine_g
+                )
         self._build()
 
     def _build(self):
@@ -97,16 +115,28 @@ class BatchedMatcher:
         )
         if self.prune and self.prune_mode == "positions":
             m_cap = self.prune_pos_cap
-            # Pallas strided-DMA patch gather on TPU (XLA's generic gather
-            # for the survivor patches measured ~10x off HBM bandwidth).
+            g, m2_cap = self.fine_g, self.fine_pos_cap
+            # One-hot MXU patch gather on TPU (XLA's generic gather for
+            # the survivor patches measured ~10x off HBM bandwidth).
             pallas_gather = jax.default_backend() != "cpu"
 
-            def _match_fb(Rb, W_gemm, W_cell, f1, Hc, Wc):
-                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-                return M.match_coarse_pruned_with_fallback(
-                    Rb, W_gemm, W_cell, f1.count, vpos, thr - 5.0, T1, Kc1,
-                    m_cap, top_k, Wc, use_pallas=pallas_gather,
-                )
+            if g:
+                def _match_fb(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
+                    vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                    cand, pp, fp = M.match_coarse_pruned_fine_with_fallback(
+                        Rb, W_gemm, W_cell, W_fine, f1.count, vpos,
+                        thr - 5.0, T1, Kc1, g, m_cap, m2_cap, top_k, Wc,
+                        use_pallas=pallas_gather,
+                    )
+                    return cand, pp, fp
+            else:
+                def _match_fb(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
+                    vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                    cand, pp = M.match_coarse_pruned_with_fallback(
+                        Rb, W_gemm, W_cell, f1.count, vpos, thr - 5.0, T1,
+                        Kc1, m_cap, top_k, Wc, use_pallas=pallas_gather,
+                    )
+                    return cand, pp, None
 
             self._match_fb = jax.jit(_match_fb, static_argnames=("Hc", "Wc"))
         elif self.prune:
@@ -164,11 +194,14 @@ class BatchedMatcher:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
         if self.prune and self.prune_mode == "positions":
-            # One fused program: prune -> lax.cond(overflow: exhaustive,
-            # else: survivor GEMM) -> select.  Unconditionally exact.
-            cands, pr = self._match_fb(R1, self.W1, self.W_cell, self.feats1,
-                                       Hc, Wc)
+            # One fused program: prune -> fine re-test -> lax.cond
+            # (overflow: coarse survivors / exhaustive) -> select.
+            # Unconditionally exact.
+            cands, pr, fn = self._match_fb(
+                R1, self.W1, self.W_cell,
+                getattr(self, "W_fine", None), self.feats1, Hc, Wc)
             self.last_prune = pr
+            self.last_fine = fn
         elif self.prune:
             pr = self._prune(R1, self.W_cell, self.feats1, Hc, Wc)
             self.last_prune = pr
@@ -209,7 +242,8 @@ class MultiClassBatchedMatcher:
     """
 
     def __init__(self, detector, class_ids: list[str], thresholds,
-                 batch: int, top_k: int = 256, prune_pos_cap: int = 256):
+                 batch: int, top_k: int = 256, prune_pos_cap: int = 256,
+                 fine_g: int | None = 4, fine_pos_cap: int | None = None):
         if isinstance(thresholds, (int, float)):
             thresholds = [float(thresholds)] * len(class_ids)
         assert len(thresholds) == len(class_ids)
@@ -236,9 +270,14 @@ class MultiClassBatchedMatcher:
             (bases[i], bases[i + 1] if i + 1 < len(bases) else n_total)
             for i in range(len(bases))
         )
+        self.fine_g = fine_g if self.T1 % (fine_g or 1) == 0 else None
+        self.fine_pos_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
         C = 16 if self.use_depth else 8
         self.W1 = M.build_gemm_weights(f1, C, self.T1, self.Kc1)
         self.W_cell = M.build_cell_weights(f1, C, self.T1, self.Kc1)
+        self.W_fine = (M.build_cell_weights_fine(f1, C, self.T1, self.Kc1,
+                                                 self.fine_g)
+                       if self.fine_g else None)
         self._build()
 
     def _build(self):
@@ -253,11 +292,14 @@ class MultiClassBatchedMatcher:
             rgbs, depths, T0=T0, T1=T1, use_depth=use_depth,
             weak_threshold=self.weak, use_pallas_quant=pallas))
 
-        def _match_mc(Rb, W_gemm, W_cell, f1, Hc, Wc):
+        g, m2_cap = self.fine_g, self.fine_pos_cap
+
+        def _match_mc(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
             vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
             return M.match_coarse_pruned_multiclass(
-                Rb, W_gemm, W_cell, f1.count, vpos, self.slices, sel_thrs,
-                T1, Kc1, m_cap, top_k, Wc, use_pallas=pallas,
+                Rb, W_gemm, W_cell, W_fine, f1.count, vpos, self.slices,
+                sel_thrs, T1, Kc1, m_cap, top_k, Wc, g=g, m2_cap=m2_cap,
+                use_pallas=pallas,
             )
 
         self._match_mc = jax.jit(_match_mc, static_argnames=("Hc", "Wc"))
@@ -279,8 +321,8 @@ class MultiClassBatchedMatcher:
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
-        cands, pr = self._match_mc(R1, self.W1, self.W_cell, self.feats1,
-                                   Hc, Wc)
+        cands, pr = self._match_mc(R1, self.W1, self.W_cell, self.W_fine,
+                                   self.feats1, Hc, Wc)
         self.last_prune = pr
         cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
                                 for a in zip(*cands)))

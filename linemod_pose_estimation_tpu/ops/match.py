@@ -660,6 +660,37 @@ def gather_cell_patches_onehot(
 
 
 @partial(jax.jit, static_argnames=("T", "Kc", "use_pallas"))
+def assemble_survivor_patches(
+    Rb: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    T: int,
+    Kc: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """(B, C, H, W) responses + (B, m) survivor cells -> (B, m, K) int8
+    patch rows for the exact survivor GEMM (column order matches
+    build_gemm_weights).  use_pallas routes through the separable one-hot
+    MXU gather (bit-identical); the XLA fallback gathers rows of the
+    linearized-cell tensor."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    m_cap = p_idx.shape[1]
+    L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
+    CTT = C * T * T
+    if use_pallas:
+        return gather_cell_patches_onehot(L.astype(jnp.int8), p_idx, Kc, Wc)
+    Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), CTT).astype(jnp.int8)
+    py, px = p_idx // Wc, p_idx % Wc
+    q = jnp.arange(Kc, dtype=jnp.int32)
+    cell = (
+        (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
+        + (px[..., None, None] + q[None, None, None, :])
+    ).reshape(B, m_cap, Kc * Kc)
+    P_sub = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell)
+    return P_sub.reshape(B, m_cap, Kc * Kc * CTT)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc", "use_pallas"))
 def coarse_scores_gemm_flat_batched_pos(
     Rb: jnp.ndarray,
     W_gemm: jnp.ndarray,
@@ -681,30 +712,18 @@ def coarse_scores_gemm_flat_batched_pos(
     MXU gather (bit-identical).  History of this flag: XLA's generic
     gather for this access pattern measured ~10x off bandwidth (~35
     ms/batch-16 at reference scale) and dominated the whole pruned pass;
-    a Pallas strided-DMA kernel (pallas_kernels.gather_cell_patches)
-    brought it to ~13 ms, but its per-survivor (Kc, KP, CL) descriptors
-    move only ~200 KB each and sit ~45x off HBM bandwidth (descriptor
-    overhead), and VMEM-resident variants showed the dynamic sublane
-    slice+roll lowering itself costs ~8.5 us/survivor.  Expressing the
-    2-D window gather as TWO one-hot int8 matmuls (column select over
-    Wx, then row select over Hy — both MXU contractions, ~5e10 MACs at
-    reference scale) measured 7.2 ms and needs no Pallas at all."""
-    B, C, H, W = Rb.shape
-    Hc, Wc = H // T, W // T
+    a Pallas strided-DMA kernel brought it to ~13 ms, but its
+    per-survivor (Kc, KP, CL) descriptors move only ~200 KB each and sit
+    ~45x off HBM bandwidth (descriptor overhead); a VMEM slab-slice
+    kernel (plane resident, per-survivor vector slice + sublane roll)
+    measured 12 ms — the dynamic slice+roll lowering itself costs ~8.5
+    us/survivor.  Expressing the 2-D window gather as TWO one-hot int8
+    matmuls (column select over Wx, then row select over Hy — both MXU
+    contractions, ~5e10 MACs at reference scale) measured 7.2 ms and
+    needs no Pallas at all."""
+    B = Rb.shape[0]
     m_cap = p_idx.shape[1]
-    L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
-    if use_pallas:
-        L4 = L.astype(jnp.int8)  # (B, Hc+Kc, Wc+Kc, CTT)
-        P_sub = gather_cell_patches_onehot(L4, p_idx, Kc, Wc)
-    else:
-        Lf = L.reshape(B, (Hc + Kc) * (Wc + Kc), C * T * T).astype(jnp.int8)
-        py, px = p_idx // Wc, p_idx % Wc  # (B, m_cap) cell coords
-        q = jnp.arange(Kc, dtype=jnp.int32)
-        cell = (
-            (py[..., None, None] + q[None, None, :, None]) * (Wc + Kc)
-            + (px[..., None, None] + q[None, None, None, :])
-        ).reshape(B, m_cap, Kc * Kc)
-        P_sub = jax.vmap(lambda Lb, cb: Lb[cb])(Lf, cell)  # (B, m, Kc*Kc, CTT)
+    P_sub = assemble_survivor_patches(Rb, p_idx, T, Kc, use_pallas=use_pallas)
     raw = jax.lax.dot_general(
         P_sub.reshape(B * m_cap, -1), W_gemm,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -747,6 +766,222 @@ def select_candidates_flat_pos(
         vals,
         vals >= threshold,
     )
+
+
+@partial(jax.jit, static_argnames=("C", "T", "Kc", "g"))
+def build_cell_weights_fine(
+    feats: LevelFeatures, C: int, T: int, Kc: int, g: int
+) -> jnp.ndarray:
+    """(N, (Kc*T/g)^2 * C) int8 feature counts per (g x g subcell,
+    orientation) bin — the second-stage (fine) upper-bound GEMM's weights.
+    Column order is subcell-row-major: (sy * KS + sx) * C + ori with
+    sy = offset_y // g over the Kc*T-pixel survivor window."""
+    if T % g != 0:
+        raise ValueError(f"g={g} must divide T={T}")
+    KS = Kc * T // g
+    N, Fmax = feats.oris.shape
+    sy = jnp.clip(feats.offsets[..., 0] // g, 0, KS - 1)
+    sx = jnp.clip(feats.offsets[..., 1] // g, 0, KS - 1)
+    col = (sy * KS + sx) * C + feats.oris
+    Wf = jnp.zeros((N, KS * KS * C), jnp.int8)
+    return Wf.at[jnp.arange(N)[:, None], col].add(
+        jnp.where(feats.live, jnp.int8(1), jnp.int8(0))
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "Kc", "g"))
+def fine_ub_at_survivors(
+    Rb: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    W_fine: jnp.ndarray,
+    T: int,
+    Kc: int,
+    g: int,
+) -> jnp.ndarray:
+    """Second-stage upper bound at survivor positions: (B, m, N) int32.
+
+    The g x g max-pooled response plane dominates the exact per-pixel
+    response (each feature's pixel lies inside its subcell block), so
+    ub_fine >= exact raw score — a TIGHTER bound than the T x T cell-max
+    (prune_positions_batched) at 1/64th the exhaustive GEMM's arithmetic:
+    (B*m, (Kc*T/g)^2*C) x (..., N).  Survivor patch assembly rides the
+    same separable one-hot MXU gather as the round-3 formulation — the
+    pooled plane is ~T^2/g^2 smaller than the full response tensor, so
+    its intermediates stay tens of MB."""
+    B, C, H, W = Rb.shape
+    Hc, Wc_ = H // T, W // T
+    S = T // g
+    KS = Kc * S
+    Hs, Ws = Hc * S, Wc_ * S
+    Rm = Rb[:, :, : Hc * T, : Wc_ * T].reshape(B, C, Hs, g, Ws, g).max(axis=(3, 5))
+    Pp = jnp.pad(
+        Rm.transpose(0, 2, 3, 1), [(0, 0), (0, KS), (0, KS), (0, 0)]
+    ).astype(jnp.int8)  # (B, Hs+KS, Ws+KS, C)
+    m = p_idx.shape[1]
+    py = ((p_idx // Wc_) * S).astype(jnp.int32)
+    px = ((p_idx % Wc_) * S).astype(jnp.int32)
+    q = jnp.arange(KS, dtype=jnp.int32)
+    x = jnp.arange(Ws + KS, dtype=jnp.int32)
+    y = jnp.arange(Hs + KS, dtype=jnp.int32)
+    Csel = (
+        x[None, None, :, None] == (px[..., None, None] + q[None, None, None, :])
+    ).astype(jnp.int8)  # (B, m, Ws+KS, KS)
+    s1 = jnp.einsum(
+        "byxc,bjxq->bjyqc", Pp, Csel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (B, m, Hs+KS, KS, C)
+    Rsel = (
+        y[None, None, :, None] == (py[..., None, None] + q[None, None, None, :])
+    ).astype(jnp.int8)  # (B, m, Hs+KS, KS)
+    s2 = jnp.einsum(
+        "bjyqc,bjyr->bjrqc", s1, Rsel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (B, m, KS_row, KS_col, C)
+    Pub = s2.reshape(B * m, KS * KS * C)
+    ub = jax.lax.dot_general(
+        Pub, W_fine,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return ub.reshape(B, m, -1)
+
+
+class FinePlan(NamedTuple):
+    """Second-stage (g x g subcell bound) survivor-position compaction.
+
+    p_idx:       (B, m2_cap) int32 — fine-surviving flat positions
+                 (compacted from the coarse PrunePlan's p_idx)
+    p_keep:      (B, m2_cap) bool  — slot holds a live position
+    m_survivors: (B,)        int32 — true fine-survivor count per frame
+    overflow:    ()          bool  — any frame exceeded m2_cap: callers
+                                     must fall back to the coarse
+                                     survivor set to stay exact
+    """
+
+    p_idx: jnp.ndarray
+    p_keep: jnp.ndarray
+    m_survivors: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("m2_cap",))
+def fine_plan_from_ub(
+    ub_fine: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    p_idx: jnp.ndarray,
+    p_keep: jnp.ndarray,
+    threshold: float,
+    m2_cap: int,
+) -> FinePlan:
+    """Coarse survivors -> fine survivors: a position stays only if SOME
+    template's fine bound still reaches threshold there.  Measured on real
+    bin-picking scenes the g=4 bound kills ~40% of coarse survivors (mean
+    46 -> 28 of m_cap 96), and the exact GEMM + patch assembly both scale
+    linearly in the position count.  Exactness: ub_fine dominates the
+    exact raw score, so every (position, template) pair whose exact
+    similarity >= threshold keeps its position (threshold slack identical
+    to prune_positions_batched's int rule)."""
+    B, m, N = ub_fine.shape
+    t_f = jnp.ceil(
+        (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
+    ).astype(jnp.int32)
+    margin = jnp.where(
+        vpos_flat[p_idx], ub_fine - t_f[None, None, :], -(2**30)
+    )
+    p_score = jnp.max(margin, axis=2)  # (B, m)
+    keep2 = (p_score >= 0) & p_keep
+    m_surv = jnp.sum(keep2.astype(jnp.int32), axis=1)
+    km = min(m2_cap, m)
+    pv, j2 = jax.lax.top_k(jnp.where(keep2, p_score, -(2**30)), km)
+    p_idx2 = jnp.take_along_axis(p_idx, j2, axis=1)
+    return FinePlan(
+        p_idx2.astype(jnp.int32), pv > -(2**30), m_surv,
+        jnp.any(m_surv > km),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "T", "Kc", "g", "m_cap", "m2_cap", "top_k", "Wc", "use_pallas"
+))
+def match_coarse_pruned_fine_with_fallback(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    W_fine: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    g: int,
+    m_cap: int,
+    m2_cap: int,
+    top_k: int,
+    Wc: int,
+    use_pallas: bool = False,
+) -> tuple[CoarseMatches, PrunePlan, FinePlan]:
+    """Two-stage exact hierarchical position pruning with in-graph
+    fallbacks.
+
+    Stage 1 (prune_positions_batched): T x T cell-max bound over every
+    coarse position -> m_cap survivor positions per frame.
+    Stage 2 (fine_ub_at_survivors + fine_plan_from_ub): g x g subcell
+    bound at survivors -> the ~60% of coarse survivors that can still
+    reach threshold, compacted to m2_cap.
+    Exact pass: survivor patches x the SAME static (K, N) weight matrix
+    as the exhaustive engine — no weight gather (a batch-union template
+    axis was built and measured first: the (u_cap, K) row gather moved
+    377 MB at ~83 GB/s through every DMA formulation tried and cost more
+    than the arithmetic it saved — see PERF.md "The DMA-gather wall").
+
+    Fallbacks keep the candidate set UNCONDITIONALLY exact, matching
+    cv::linemod's score-every-position semantics (rgbdDetector.cpp:31-34):
+    fine overflow -> exact GEMM over all m_cap coarse survivors; coarse
+    overflow -> exhaustive GEMM over all positions.  Both ride lax.cond so
+    only the taken branch executes; predicates stay on device.
+    """
+    pp = prune_positions_batched(
+        Rb, W_cell, total_features, vpos_flat, threshold, T, Kc, m_cap
+    )
+    ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
+    fp = fine_plan_from_ub(
+        ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep, threshold,
+        m2_cap,
+    )
+
+    def _sel(raw, pi, pk):
+        return jax.vmap(
+            lambda r, i, k: select_candidates_flat_pos(
+                r, total_features, vpos_flat, i, k, threshold, top_k, Wc
+            )
+        )(raw, pi, pk)
+
+    def _fine(_):
+        raw = coarse_scores_gemm_flat_batched_pos(
+            Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas
+        )
+        return _sel(raw, fp.p_idx, fp.p_keep)
+
+    def _coarse(_):
+        raw = coarse_scores_gemm_flat_batched_pos(
+            Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas
+        )
+        return _sel(raw, pp.p_idx, pp.p_keep)
+
+    def _exhaustive(_):
+        raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
+        return jax.vmap(
+            lambda r: select_candidates_flat(
+                r, total_features, vpos_flat, threshold, top_k, Wc
+            )
+        )(raw)
+
+    cands = jax.lax.cond(
+        pp.overflow,
+        _exhaustive,
+        lambda _: jax.lax.cond(fp.overflow, _coarse, _fine, None),
+        None,
+    )
+    return cands, pp, fp
 
 
 @partial(jax.jit, static_argnames=(
@@ -836,13 +1071,14 @@ def concat_level_features(feats_list: list[LevelFeatures]) -> tuple[LevelFeature
 
 
 @partial(jax.jit, static_argnames=(
-    "class_slices", "thresholds", "T", "Kc", "m_cap", "top_k", "Wc",
-    "use_pallas"
+    "class_slices", "thresholds", "T", "Kc", "g", "m_cap", "m2_cap",
+    "top_k", "Wc", "use_pallas"
 ))
 def match_coarse_pruned_multiclass(
     Rb: jnp.ndarray,
     W_gemm: jnp.ndarray,
     W_cell: jnp.ndarray,
+    W_fine: jnp.ndarray | None,
     total_features: jnp.ndarray,
     vpos_flat: jnp.ndarray,
     class_slices: tuple[tuple[int, int], ...],
@@ -852,18 +1088,24 @@ def match_coarse_pruned_multiclass(
     m_cap: int,
     top_k: int,
     Wc: int,
+    g: int | None = 4,
+    m2_cap: int | None = None,
     use_pallas: bool = False,
 ) -> tuple[list[CoarseMatches], PrunePlan]:
-    """Multi-class twin of match_coarse_pruned_with_fallback over a MERGED
-    bank (concat_level_features): ONE prune (at min(thresholds), so the
-    survivor set is a superset for every class — still exact), ONE survivor
-    GEMM over the merged template axis, then a per-class selection that
-    masks the other classes' score columns.  In-graph exhaustive fallback
-    on survivor overflow, exactly like the single-class path.
+    """Multi-class twin of match_coarse_pruned_fine_with_fallback over a
+    MERGED bank (concat_level_features): ONE coarse prune + ONE fine
+    re-test (both at min(thresholds), so the survivor set is a superset
+    for every class — still exact), ONE survivor GEMM over the merged
+    template axis, then a per-class selection that masks the other
+    classes' score columns.  In-graph fallbacks on survivor overflow,
+    exactly like the single-class path.  `W_fine=None` or `g=None` skips
+    the fine stage (the round-3 behaviour).
 
     Returns ([CoarseMatches per class], PrunePlan)."""
     N = W_gemm.shape[1]
     thr_min = min(thresholds)
+    if g is not None and T % g != 0:
+        g = None
     pp = prune_positions_batched(
         Rb, W_cell, total_features, vpos_flat, thr_min, T, Kc, m_cap
     )
@@ -872,19 +1114,22 @@ def match_coarse_pruned_multiclass(
         col = jnp.zeros((N,), bool).at[lo:hi].set(True)
         cls_cols.append(col)
 
-    def _pruned(_):
-        raw = coarse_scores_gemm_flat_batched_pos(
-            Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
-        )
+    def _sel_pos(raw, pi, pk):
         out = []
         for col, thr_c in zip(cls_cols, thresholds):
             out.append(jax.vmap(
-                lambda r, pi, pk: select_candidates_flat_pos(
-                    r, total_features, vpos_flat & col[None, :], pi, pk,
+                lambda r, i, k: select_candidates_flat_pos(
+                    r, total_features, vpos_flat & col[None, :], i, k,
                     thr_c, top_k, Wc
                 )
-            )(raw, pp.p_idx, pp.p_keep))
+            )(raw, pi, pk))
         return out
+
+    def _coarse(_):
+        raw = coarse_scores_gemm_flat_batched_pos(
+            Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas,
+        )
+        return _sel_pos(raw, pp.p_idx, pp.p_keep)
 
     def _exhaustive(_):
         raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
@@ -898,7 +1143,27 @@ def match_coarse_pruned_multiclass(
             )(raw))
         return out
 
-    cands = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
+    if g is not None and W_fine is not None:
+        ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
+        fp = fine_plan_from_ub(
+            ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep, thr_min,
+            m2_cap or max(m_cap // 2, 1),
+        )
+
+        def _fine(_):
+            raw = coarse_scores_gemm_flat_batched_pos(
+                Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas,
+            )
+            return _sel_pos(raw, fp.p_idx, fp.p_keep)
+
+        cands = jax.lax.cond(
+            pp.overflow,
+            _exhaustive,
+            lambda _: jax.lax.cond(fp.overflow, _coarse, _fine, None),
+            None,
+        )
+    else:
+        cands = jax.lax.cond(pp.overflow, _exhaustive, _coarse, None)
     return cands, pp
 
 

@@ -58,17 +58,20 @@ class ShardedBank(NamedTuple):
     template axis: level-1 GEMM weights in TEMPLATE-MAJOR (N, K_dim) layout
     (position-only pruning keeps the weights static and contracts on K;
     the two-axis mode row-gathers survivors from the same array), the
-    cell-level upper-bound weights (N, C*Kc^2) for hierarchical pruning,
-    and both levels' features."""
+    cell-level upper-bound weights (N, C*Kc^2) for coarse pruning, the
+    subcell fine-bound weights (N, C*(Kc*T/g)^2) for the second pruning
+    stage, and both levels' features."""
 
     W1_rows: jnp.ndarray
     W_cell: jnp.ndarray
+    W_fine: jnp.ndarray
     feats1: M.LevelFeatures
     feats0: M.LevelFeatures
 
 
 def make_sharded_bank(
-    mesh: Mesh, feats1: M.LevelFeatures, feats0: M.LevelFeatures, C: int, T1: int, Kc1: int
+    mesh: Mesh, feats1: M.LevelFeatures, feats0: M.LevelFeatures, C: int,
+    T1: int, Kc1: int, fine_g: int = 4,
 ) -> ShardedBank:
     """Pad + place a bank with its multi-chip shardings (template axis over
     "bank"; the GEMM weight's N axis likewise)."""
@@ -77,10 +80,12 @@ def make_sharded_bank(
     feats0 = pad_bank_features(feats0, n_bank)
     W1_rows = M.build_gemm_weights(feats1, C, T1, Kc1).T
     W_cell = M.build_cell_weights(feats1, C, T1, Kc1)
+    W_fine = M.build_cell_weights_fine(feats1, C, T1, Kc1, fine_g)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return ShardedBank(
         W1_rows=put(W1_rows, P("bank", None)),
         W_cell=put(W_cell, P("bank", None)),
+        W_fine=put(W_fine, P("bank", None)),
         feats1=jax.tree.map(lambda a: put(a, P("bank")), feats1),
         feats0=jax.tree.map(lambda a: put(a, P("bank")), feats0),
     )
@@ -463,6 +468,8 @@ def make_sharded_detect_step(
     prune_cap: int = 1024,
     prune_pos_cap: int = 256,
     prune_mode: str = "positions",
+    fine_g: int | None = 4,
+    fine_pos_cap: int | None = None,
     use_pallas_refine: bool | None = None,
 ):
     """The full multi-chip detect step over a raw frame batch:
@@ -491,9 +498,13 @@ def make_sharded_detect_step(
     )
     bank_spec = ShardedBank(
         W1_rows=P("bank", None), W_cell=P("bank", None),
+        W_fine=P("bank", None),
         feats1=feats_spec, feats0=feats_spec,
     )
     sel_thr = max(threshold - coarse_margin, 0.0)
+    if fine_g is not None and T1 % fine_g != 0:
+        fine_g = None
+    m2_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
 
     def local_step(rgbs, depths, bank):
         n_local = bank.feats1.oris.shape[0]
@@ -510,13 +521,20 @@ def make_sharded_detect_step(
         Hc, Wc = R1.shape[2] // T1, R1.shape[3] // T1
         vpos = M.position_validity_flat(bank.feats1.size, T1, Hc, Wc)
 
-        if prune and prune_mode == "positions":
-            # Position-only pruning (the single-chip production mode):
-            # shard-local on both the bound and the exact GEMM; the weight
-            # matrix stays static (contract bank.W1_rows on its K axis).
-            # On survivor overflow an in-graph lax.cond re-runs this
-            # shard's batch exhaustively — shard-local, no collectives in
-            # either branch, so shards can take different branches freely.
+        if prune and prune_mode == "positions" and fine_g:
+            # Two-stage position pruning (the single-chip production
+            # mode): coarse cell-max bound, then the g x g subcell
+            # re-test, both shard-local; the weight matrix stays static
+            # (contract bank.W1_rows on its K axis).  Overflows fall back
+            # in-graph per shard — no collectives in any branch, so
+            # shards can take different branches freely.
+            cand, _plan, _fine = M.match_coarse_pruned_fine_with_fallback(
+                R1, bank.W1_rows.T, bank.W_cell, bank.W_fine,
+                bank.feats1.count, vpos, sel_thr, T1, Kc1, fine_g,
+                prune_pos_cap, m2_cap, top_k, Wc,
+                use_pallas=use_pallas_refine,
+            )
+        elif prune and prune_mode == "positions":
             cand, _plan = M.match_coarse_pruned_with_fallback(
                 R1, bank.W1_rows.T, bank.W_cell, bank.feats1.count, vpos,
                 sel_thr, T1, Kc1, prune_pos_cap, top_k, Wc,

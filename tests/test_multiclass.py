@@ -69,9 +69,10 @@ def test_multiclass_equals_per_class(m_cap):
     assert bases == bases0 == (0, 24)
     Wg = M.build_gemm_weights(f1m, 8, T1, Kc)
     Wc_ = M.build_cell_weights(f1m, 8, T1, Kc)
+    Wf = M.build_cell_weights_fine(f1m, 8, T1, Kc, 4)
     vpos = M.position_validity_flat(f1m.size, T1, Hc, Wc)
     cands, pp = M.match_coarse_pruned_multiclass(
-        R1b, Wg, Wc_, f1m.count, vpos, ((0, 24), (24, 64)),
+        R1b, Wg, Wc_, Wf, f1m.count, vpos, ((0, 24), (24, 64)),
         (thr_a - 5.0, thr_b - 5.0), T1, Kc, m_cap, top_k, Wc)
     cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1) for a in zip(*cands)))
     mm = M.refine_candidates_opencv_batched(

@@ -385,3 +385,108 @@ def test_prune_int32_fallback_for_large_feature_counts(rng):
                                np.asarray(small.p_keep[0])) if k
     }
     assert got16 == ref16
+
+
+def test_fine_bound_dominates_exact(rng):
+    """g x g subcell max bound (stage 2) must dominate the exact raw score
+    at every survivor position for every template."""
+    n, thr, g = 32, 50.0, 4
+    feats = _bank(rng, n)
+    Rb = _frames(rng, b=2, sparse=0.5)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    W_fine = M.build_cell_weights_fine(feats, C, T1, KC, g)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+    pp = M.prune_positions_batched(Rb, W_cell, feats.count, vpos, thr, T1,
+                                   KC, m_cap=Hc * Wc)
+    ubf = M.fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T1, KC, g)
+    exact = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)  # (B,P,N)
+    ex_at = jnp.take_along_axis(exact, pp.p_idx[:, :, None], axis=1)
+    assert bool(jnp.all(ubf >= ex_at)), "fine bound must dominate exact"
+    # and it must be tighter than (dominated by) the coarse cell-max bound
+    ub_coarse = jnp.einsum(
+        "bpk,nk->bpn",
+        jnp.stack([M._ub_patches(R, T1, KC) for R in Rb]).astype(jnp.int32),
+        M.build_cell_weights(feats, C, T1, KC).astype(jnp.int32))
+    ubc_at = jnp.take_along_axis(ub_coarse, pp.p_idx[:, :, None], axis=1)
+    assert bool(jnp.all(ubf <= ubc_at)), "fine bound must be tighter"
+
+
+def test_fine_path_equals_exhaustive(rng):
+    """Two-stage fine-position pruning: valid candidate set equals the
+    exhaustive engine's, and the fine bound genuinely kills positions."""
+    n, top_k, thr, g = 64, 64, 80.0, 4
+    feats = _bank(rng, n)
+    Rb_np = np.array(_frames(rng, b=2, sparse=0.5, hi=3))
+    Rb_np = _plant(Rb_np, feats, tid=5, b=0, py=3, px=4)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=1, py=7, px=9)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=0, py=8, px=2)
+    Rb = jnp.asarray(Rb_np)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    W_fine = M.build_cell_weights_fine(feats, C, T1, KC, g)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    raw = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)
+    ref_sets = [
+        _valid_set(M.select_candidates_flat(raw[b], feats.count, vpos, thr,
+                                            top_k, Wc, exact=True))
+        for b in range(B)
+    ]
+    assert all(len(s) for s in ref_sets)
+
+    pp = M.prune_positions_batched(Rb, W_cell, feats.count, vpos, thr, T1,
+                                   KC, m_cap=Hc * Wc)
+    ubf = M.fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T1, KC, g)
+    fp_all = M.fine_plan_from_ub(ubf, feats.count, vpos, pp.p_idx,
+                                 pp.p_keep, thr, m2_cap=Hc * Wc)
+    n_coarse = int(pp.m_survivors.max())
+    n_fine = int(fp_all.m_survivors.max())
+    assert 0 < n_fine <= n_coarse, "fine bound must not add positions"
+
+    cands, pp2, fp = M.match_coarse_pruned_fine_with_fallback(
+        Rb, W_gemm, W_cell, W_fine, feats.count, vpos, thr,
+        T1, KC, g, m_cap=Hc * Wc, m2_cap=Hc * Wc, top_k=top_k, Wc=Wc)
+    assert not bool(pp2.overflow) and not bool(fp.overflow)
+    # exact=False path uses approx_max_k inside the orchestrator; compare
+    # the valid sets (the orchestrator's select is approx like production).
+    for b in range(B):
+        got = _valid_set(M.CoarseMatches(*(a[b] for a in cands)))
+        assert got == ref_sets[b]
+
+
+def test_fine_overflow_falls_back_coarse(rng):
+    """m2_cap below the true fine-survivor count must flip
+    FinePlan.overflow and take the coarse-survivor branch — output still
+    equals exhaustive."""
+    n, top_k, thr, g = 64, 64, 80.0, 4
+    feats = _bank(rng, n)
+    Rb_np = np.array(_frames(rng, b=2, sparse=0.5, hi=3))
+    Rb_np = _plant(Rb_np, feats, tid=5, b=0, py=3, px=4)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=1, py=7, px=9)
+    Rb_np = _plant(Rb_np, feats, tid=41, b=0, py=8, px=2)
+    Rb = jnp.asarray(Rb_np)
+    B, _, H, W = Rb.shape
+    Hc, Wc = H // T1, W // T1
+    W_gemm = M.build_gemm_weights(feats, C, T1, KC)
+    W_cell = M.build_cell_weights(feats, C, T1, KC)
+    W_fine = M.build_cell_weights_fine(feats, C, T1, KC, g)
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wc)
+
+    raw = M.coarse_scores_gemm_flat_batched(Rb, W_gemm, T1, KC)
+    ref_sets = [
+        _valid_set(M.select_candidates_flat(raw[b], feats.count, vpos, thr,
+                                            top_k, Wc, exact=True))
+        for b in range(B)
+    ]
+    cands, pp, fp = M.match_coarse_pruned_fine_with_fallback(
+        Rb, W_gemm, W_cell, W_fine, feats.count, vpos, thr,
+        T1, KC, g, m_cap=Hc * Wc, m2_cap=1, top_k=top_k, Wc=Wc)
+    assert bool(fp.overflow) and int(fp.m_survivors.max()) > 1
+    for b in range(B):
+        got = _valid_set(M.CoarseMatches(*(a[b] for a in cands)))
+        assert got == ref_sets[b]
