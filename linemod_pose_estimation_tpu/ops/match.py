@@ -83,6 +83,18 @@ def merge_modalities(
         [f.oris + 8 * m for m, f in enumerate(feats)], axis=1
     )
     live = jnp.concatenate([f.live for f in feats], axis=1)
+    # Compact live slots to the FRONT (stable): cv::linemod stores up to
+    # 63 features per modality in 64-slot blocks, so the raw concat leaves
+    # dead padding slots interspersed (e.g. slot 63 dead, slot 126 live at
+    # nf = 126) — and the Pallas walk kernel masks features by f < nf,
+    # which silently mis-scores on non-contiguous live (measured: a few
+    # raw units per candidate on the real dual-modality bank).  Every
+    # consumer is order-invariant (weights are scatter-adds, the walk is
+    # a sum), so compaction is free exactness insurance.
+    order = jnp.argsort(~live, axis=1, stable=True)
+    offs = jnp.take_along_axis(offs, order[..., None], axis=1)
+    oris = jnp.take_along_axis(oris, order, axis=1)
+    live = jnp.take_along_axis(live, order, axis=1)
     count = sum(f.count for f in feats)
     size = jnp.max(jnp.stack([f.size for f in feats]), axis=0)
     R = jnp.concatenate(list(response_maps), axis=0)
@@ -1512,7 +1524,11 @@ def refine_candidates_opencv_batched(
     if use_pallas:
         # Dead feature slots: zero offsets + out-of-range ori would read
         # real data; instead force nf-masked accumulation (the kernel masks
-        # f >= nf), and nf == live count by construction.
+        # f >= nf).  PRECONDITION: live slots occupy [0, nf) — true for
+        # trainer/loader banks (contiguous per modality) and guaranteed by
+        # merge_modalities' live-compaction for multi-modality merges (a
+        # raw per-modality concat leaves dead slots interspersed, which
+        # this mask would silently mis-score).
         from .pallas_kernels import walk_scores_pallas
 
         fy = jnp.clip(offs[..., 0], 0, E0).reshape(B, K, Fmax)

@@ -161,3 +161,60 @@ def test_flat_layout_paths_match_template_major(rng):
         for i in range(16)
     )
     assert rows(a) == rows(b)
+
+
+def test_merge_modalities_compacts_live(rng):
+    """cv::linemod stores up to 63 features per modality in 64-slot blocks,
+    so a raw concat leaves dead slots interspersed; the Pallas walk kernel
+    masks features by f < nf and would silently mis-score (measured: a few
+    raw units per candidate on the real dual-modality bank).  The merge
+    must compact live slots to the front while preserving the feature SET."""
+    n, fmax = 7, 64
+    fa = random_bank(rng, n, fmax=fmax, extent=30)
+    fb = random_bank(rng, n, fmax=fmax, extent=30)
+    # Block-pattern live like the real banks: [0, cnt) live, rest dead.
+    merged, _ = M.merge_modalities(
+        [fa, fb], [random_R(rng, 8, 16, 16)] * 2)
+    live = np.asarray(merged.live)
+    cnt = np.asarray(merged.count)
+    contig = np.arange(live.shape[1])[None, :] < cnt[:, None]
+    np.testing.assert_array_equal(live, contig)
+    # Feature multiset preserved (with the modality ori shift).
+    for t in range(n):
+        def fset(offs, oris, lv, shift=0):
+            return sorted(
+                (int(offs[t, f, 0]), int(offs[t, f, 1]), int(oris[t, f]) + shift)
+                for f in np.nonzero(np.asarray(lv[t]))[0]
+            )
+        want = fset(fa.offsets, fa.oris, fa.live) + [
+            (y, x, o + 8) for (y, x, o) in fset(fb.offsets, fb.oris, fb.live)
+        ]
+        got = fset(merged.offsets, merged.oris, merged.live)
+        assert sorted(want) == got
+
+
+def test_walk_pallas_noncontiguous_live(rng):
+    """The batched walk's Pallas and XLA paths must agree bit-for-bit on a
+    MERGED dual-modality bank (whose pre-compaction live pattern was the
+    round-4 silent-mis-score bug)."""
+    T1, T0, E0 = 8, 5, 56
+    fa = random_bank(rng, 10, fmax=32, extent=E0)
+    fb = random_bank(rng, 10, fmax=32, extent=E0)
+    Ra = random_R(rng, 8, 160, 192)
+    Rb = random_R(rng, 8, 160, 192)
+    merged, R0 = M.merge_modalities([fa, fb], [Ra, Rb])
+    cand = M.CoarseMatches(
+        template_id=jnp.asarray(rng.integers(0, 10, (2, 6)).astype(np.int32)),
+        cell_y=jnp.asarray(rng.integers(0, 6, (2, 6)).astype(np.int32)),
+        cell_x=jnp.asarray(rng.integers(0, 8, (2, 6)).astype(np.int32)),
+        similarity=jnp.full((2, 6), 90.0, jnp.float32),
+        valid=jnp.ones((2, 6), bool),
+    )
+    R0b = jnp.stack([R0, jnp.roll(R0, 3, axis=2)])
+    mx = M.refine_candidates_opencv_batched(
+        R0b, merged, cand, T1, 50.0, E0=E0, fine_T=T0, use_pallas=False)
+    mp = M.refine_candidates_opencv_batched(
+        R0b, merged, cand, T1, 50.0, E0=E0, fine_T=T0, use_pallas=True,
+        interpret=True)
+    for name, a, b in zip(mx._fields, mx, mp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
