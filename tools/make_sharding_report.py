@@ -100,7 +100,7 @@ def main():
     sb = make_sharded_bank(mesh, feats1, feats0, C=C, T1=T1, Kc1=Kc1)
 
     B, H, W = 2, 480, 640
-    top_k, thr, m_cap = 128, 91.0, 64
+    top_k, thr, m_cap = 128, 91.0, 64  # fine_pos_cap defaults to m_cap // 2
     step = make_sharded_detect_step(
         mesh, T1, Kc1, top_k, thr, T0=T0, E0=E0, use_depth=use_depth,
         weak_threshold=p.color.weak_threshold, prune=True,
@@ -127,9 +127,11 @@ def main():
     n_local = N_pad // n_bank
     Hc, Wc = H // 2 // T1, W // 2 // T1
     K_dim = C * T1 * T1 * Kc1 * Kc1
+    KS = Kc1 * T1 // 4  # fine-stage (g=4) subcell grid
     shard_bytes = {
         "W1_rows_int8": int(n_local * K_dim),
         "W_cell_int8": int(n_local * (Kc1 * Kc1 * C)),
+        "W_fine_int8": int(n_local * (KS * KS * C)),
         "feats1_feats0": int(sum(
             np.asarray(a).nbytes for a in sb.feats1) // n_bank
             + sum(np.asarray(a).nbytes for a in sb.feats0) // n_bank),
@@ -152,6 +154,11 @@ def main():
             "weights": [K_dim, n_local],
             "out": [B_local, m_cap, n_local],
             "int8_macs": int(B_local * m_cap * K_dim * n_local),
+        },
+        "per_shard_fine_ub_gemm": {
+            "patches": [B_local * m_cap, KS * KS * C],
+            "weights": [n_local, KS * KS * C],
+            "int8_macs": int(B_local * m_cap * KS * KS * C * n_local),
         },
         "per_shard_prune_bound_gemm": {
             "patches": [B_local * Hc * Wc, Kc1 * Kc1 * C],
