@@ -219,6 +219,13 @@ def main(argv=None) -> int:
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Honour an explicit JAX_PLATFORMS even when a sitecustomize hook has
+    # re-forced another backend via jax.config after env processing (this
+    # environment's remote-TPU shim does; a CLI asked to run on "cpu" then
+    # silently pays remote-compile round-trips — measured 15 min of wall
+    # for 9 s of CPU work in the detect contract test).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     ap = argparse.ArgumentParser(
         prog="linemod_pose_estimation_tpu",
