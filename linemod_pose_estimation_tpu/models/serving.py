@@ -76,6 +76,7 @@ class BatchedMatcher:
         self.fine_pos_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
         self.last_prune = None
         self.last_fine = None
+        self.W_fine = None
         if prune:
             n_mod = 2 if self.use_depth else 1
             if prune_mode == "two_axis":
@@ -198,8 +199,7 @@ class BatchedMatcher:
             # (overflow: coarse survivors / exhaustive) -> select.
             # Unconditionally exact.
             cands, pr, fn = self._match_fb(
-                R1, self.W1, self.W_cell,
-                getattr(self, "W_fine", None), self.feats1, Hc, Wc)
+                R1, self.W1, self.W_cell, self.W_fine, self.feats1, Hc, Wc)
             self.last_prune = pr
             self.last_fine = fn
         elif self.prune:

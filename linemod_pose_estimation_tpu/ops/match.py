@@ -544,6 +544,17 @@ def select_candidates_flat_sub2(
     )
 
 
+def int_score_threshold(threshold: float, total_features: jnp.ndarray) -> jnp.ndarray:
+    """Per-template integer raw-score threshold t_int with
+    ub >= t_int  <=>  sim_ub >= threshold (sim = 100 * raw / (4 * nf),
+    raw integral).  The 1e-3/1e-4 slacks absorb f32 rounding and can only
+    ADD survivors, so every pruning stage sharing this rule keeps the
+    exact superset invariant — ALL bound stages must use THIS function."""
+    return jnp.ceil(
+        (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
+    )
+
+
 @partial(jax.jit, static_argnames=("T", "Kc", "m_cap"))
 def prune_positions_batched(
     Rb: jnp.ndarray,
@@ -583,11 +594,7 @@ def prune_positions_batched(
     Hc, Wc = H // T, W // T
     N = W_cell.shape[0]
     P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
-    # Integer threshold per template: ub >= t_int  <=>  sim_ub >= thr
-    # (ub is integral; slacks only ever ADD survivors).
-    t_f = jnp.ceil(
-        (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
-    )
+    t_f = int_score_threshold(threshold, total_features)
 
     def _margin_max(acc_dtype):
         # int16 accumulation (the production case, nf <= 126): ub = 4 * nf
@@ -816,10 +823,11 @@ def fine_ub_at_survivors(
     response (each feature's pixel lies inside its subcell block), so
     ub_fine >= exact raw score — a TIGHTER bound than the T x T cell-max
     (prune_positions_batched) at 1/64th the exhaustive GEMM's arithmetic:
-    (B*m, (Kc*T/g)^2*C) x (..., N).  Survivor patch assembly rides the
-    same separable one-hot MXU gather as the round-3 formulation — the
-    pooled plane is ~T^2/g^2 smaller than the full response tensor, so
-    its intermediates stay tens of MB."""
+    (B*m, (Kc*T/g)^2*C) x (..., N).  Survivor patch assembly reuses
+    gather_cell_patches_onehot on the pooled plane (same separable
+    one-hot MXU gather, C riding the lane axis, window KS over the
+    subcell grid) — the pooled plane is ~T^2/g^2 smaller than the full
+    response tensor, so its intermediates stay tens of MB."""
     B, C, H, W = Rb.shape
     Hc, Wc_ = H // T, W // T
     S = T // g
@@ -830,26 +838,11 @@ def fine_ub_at_survivors(
         Rm.transpose(0, 2, 3, 1), [(0, 0), (0, KS), (0, KS), (0, 0)]
     ).astype(jnp.int8)  # (B, Hs+KS, Ws+KS, C)
     m = p_idx.shape[1]
-    py = ((p_idx // Wc_) * S).astype(jnp.int32)
-    px = ((p_idx % Wc_) * S).astype(jnp.int32)
-    q = jnp.arange(KS, dtype=jnp.int32)
-    x = jnp.arange(Ws + KS, dtype=jnp.int32)
-    y = jnp.arange(Hs + KS, dtype=jnp.int32)
-    Csel = (
-        x[None, None, :, None] == (px[..., None, None] + q[None, None, None, :])
-    ).astype(jnp.int8)  # (B, m, Ws+KS, KS)
-    s1 = jnp.einsum(
-        "byxc,bjxq->bjyqc", Pp, Csel, preferred_element_type=jnp.int32
-    ).astype(jnp.int8)  # (B, m, Hs+KS, KS, C)
-    Rsel = (
-        y[None, None, :, None] == (py[..., None, None] + q[None, None, None, :])
-    ).astype(jnp.int8)  # (B, m, Hs+KS, KS)
-    s2 = jnp.einsum(
-        "bjyqc,bjyr->bjrqc", s1, Rsel, preferred_element_type=jnp.int32
-    ).astype(jnp.int8)  # (B, m, KS_row, KS_col, C)
-    Pub = s2.reshape(B * m, KS * KS * C)
+    # Survivor cells on the subcell grid: (py*S, px*S) of an (Hs, Ws) map.
+    p_sub = (p_idx // Wc_) * S * Ws + (p_idx % Wc_) * S
+    Pub = gather_cell_patches_onehot(Pp, p_sub.astype(jnp.int32), KS, Ws)
     ub = jax.lax.dot_general(
-        Pub, W_fine,
+        Pub.reshape(B * m, KS * KS * C), W_fine,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
@@ -893,9 +886,7 @@ def fine_plan_from_ub(
     similarity >= threshold keeps its position (threshold slack identical
     to prune_positions_batched's int rule)."""
     B, m, N = ub_fine.shape
-    t_f = jnp.ceil(
-        (threshold - 1e-3) * 0.04 * total_features.astype(jnp.float32) - 1e-4
-    ).astype(jnp.int32)
+    t_f = int_score_threshold(threshold, total_features).astype(jnp.int32)
     margin = jnp.where(
         vpos_flat[p_idx], ub_fine - t_f[None, None, :], -(2**30)
     )
@@ -1287,6 +1278,21 @@ def select_candidates_flat(
     )
 
 
+def _compact_live_slots(offs, oris, live):
+    """Stable live-first permutation of per-candidate feature slots.
+
+    The Pallas refiners mask features by f < nf, which requires live slots
+    at [0, nf); rather than trusting every producer (a raw dual-modality
+    concat violated it and silently mis-scored until merge_modalities grew
+    its compaction), the pallas branches enforce it here — a no-op
+    permutation for contiguous banks, ~0.1 ms at reference scale."""
+    order = jnp.argsort(~live, axis=1, stable=True)
+    return (
+        jnp.take_along_axis(offs, order[..., None], axis=1),
+        jnp.take_along_axis(oris, order, axis=1),
+    )
+
+
 @partial(jax.jit, static_argnames=("window", "coarse_T", "fine_T", "E0"))
 def refine_candidates_slices(
     R0: jnp.ndarray,
@@ -1376,12 +1382,14 @@ def refine_candidates_pallas(
     t = cand.template_id
     offs = feats0.offsets[t]
     cnt = feats0.count[t]
-    # Padded slots: point them at the patch corner; the kernel masks f >= nf.
+    # Padded slots: point them at the patch corner; the kernel masks f >= nf
+    # (live slots compacted to [0, nf) first — see _compact_live_slots).
+    offs_c, oris_c = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
     scores = refine_scores_pallas(
         R0,
-        feats0.oris[t],
-        jnp.clip(offs[..., 0], 0, E0),
-        jnp.clip(offs[..., 1], 0, E0),
+        oris_c,
+        jnp.clip(offs_c[..., 0], 0, E0),
+        jnp.clip(offs_c[..., 1], 0, E0),
         cnt,
         anchor_y,
         anchor_x,
@@ -1428,11 +1436,12 @@ def refine_candidates_pallas_batched(
     offs = feats0.offsets[t]
     cnt = feats0.count[t]
     frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    offs_c, oris_c = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
     scores = refine_scores_pallas(
         R0,
-        feats0.oris[t],
-        jnp.clip(offs[..., 0], 0, E0),
-        jnp.clip(offs[..., 1], 0, E0),
+        oris_c,
+        jnp.clip(offs_c[..., 0], 0, E0),
+        jnp.clip(offs_c[..., 1], 0, E0),
         cnt,
         anchor_y,
         anchor_x,
@@ -1521,25 +1530,7 @@ def refine_candidates_opencv_batched(
     live = feats0.live[t]
     cnt = feats0.count[t]
 
-    if use_pallas:
-        # Dead feature slots: zero offsets + out-of-range ori would read
-        # real data; instead force nf-masked accumulation (the kernel masks
-        # f >= nf).  PRECONDITION: live slots occupy [0, nf) — true for
-        # trainer/loader banks (contiguous per modality) and guaranteed by
-        # merge_modalities' live-compaction for multi-modality merges (a
-        # raw per-modality concat leaves dead slots interspersed, which
-        # this mask would silently mis-score).
-        from .pallas_kernels import walk_scores_pallas
-
-        fy = jnp.clip(offs[..., 0], 0, E0).reshape(B, K, Fmax)
-        fx = jnp.clip(offs[..., 1], 0, E0).reshape(B, K, Fmax)
-        scores = walk_scores_pallas(
-            R0, oris.reshape(B, K, Fmax), fy, fx,
-            cnt.reshape(B, K), gy0.reshape(B, K), gx0.reshape(B, K),
-            E0=E0, T=T, interpret=interpret,
-        )
-        flat = scores.reshape(B * K, -1)
-    else:
+    def _xla_scores(_):
         pad = ((E0 + WIN * T) // T + 1) * T
         pad_h = pad + (-(H + pad)) % T  # reshape needs Hp, Wp % T == 0
         pad_w = pad + (-(W + pad)) % T
@@ -1563,7 +1554,36 @@ def refine_candidates_opencv_batched(
 
         acc0 = jnp.zeros((B * K, WIN, WIN), jnp.int32)
         scores, _ = jax.lax.scan(body, acc0, jnp.arange(Fmax, dtype=jnp.int32))
-        flat = scores.reshape(B * K, -1)
+        return scores.reshape(B * K, -1)
+
+    if use_pallas:
+        # Dead feature slots: zero offsets + out-of-range ori would read
+        # real data; instead force nf-masked accumulation (the kernel masks
+        # f >= nf), which requires live slots at [0, nf).  Rather than
+        # TRUST that precondition (a raw dual-modality concat violated it
+        # and silently mis-scored until merge_modalities grew its
+        # compaction), an in-graph lax.cond routes non-contiguous banks
+        # through the live-masked XLA twin — the check is an elementwise
+        # compare (free on the hot path; an argsort compaction here
+        # measured ~17 ms/batch-32), and only the taken branch executes.
+        from .pallas_kernels import walk_scores_pallas
+
+        def _pallas_scores(_):
+            fy = jnp.clip(offs[..., 0], 0, E0).reshape(B, K, Fmax)
+            fx = jnp.clip(offs[..., 1], 0, E0).reshape(B, K, Fmax)
+            scores = walk_scores_pallas(
+                R0, oris.reshape(B, K, Fmax), fy, fx,
+                cnt.reshape(B, K), gy0.reshape(B, K), gx0.reshape(B, K),
+                E0=E0, T=T, interpret=interpret,
+            )
+            return scores.reshape(B * K, -1)
+
+        contiguous = jnp.all(
+            live == (jnp.arange(Fmax, dtype=jnp.int32)[None, :] < cnt[:, None])
+        )
+        flat = jax.lax.cond(contiguous, _pallas_scores, _xla_scores, None)
+    else:
+        flat = _xla_scores(None)
     best = jnp.argmax(flat, axis=1)  # first max == OpenCV's strict-> walk
     raw = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
     sim = 100.0 * raw.astype(jnp.float32) / (4.0 * jnp.maximum(cnt, 1))

@@ -69,18 +69,30 @@ class ShardedBank(NamedTuple):
     feats0: M.LevelFeatures
 
 
+def _effective_fine_g(T1: int, fine_g: int | None) -> int | None:
+    """The fine stage needs g | T1; None (or an indivisible g) disables it.
+    make_sharded_bank and make_sharded_detect_step must agree on this —
+    both route through here, and the step validates the bank's W_fine
+    width against its own g at build time."""
+    return fine_g if fine_g and T1 % fine_g == 0 else None
+
+
 def make_sharded_bank(
     mesh: Mesh, feats1: M.LevelFeatures, feats0: M.LevelFeatures, C: int,
-    T1: int, Kc1: int, fine_g: int = 4,
+    T1: int, Kc1: int, fine_g: int | None = 4,
 ) -> ShardedBank:
     """Pad + place a bank with its multi-chip shardings (template axis over
-    "bank"; the GEMM weight's N axis likewise)."""
+    "bank"; the GEMM weight's N axis likewise).  With fine_g disabled (None
+    or not dividing T1), W_fine is a zero-width placeholder and the step
+    runs coarse-only pruning."""
     n_bank = mesh.shape["bank"]
     feats1 = pad_bank_features(feats1, n_bank)
     feats0 = pad_bank_features(feats0, n_bank)
     W1_rows = M.build_gemm_weights(feats1, C, T1, Kc1).T
     W_cell = M.build_cell_weights(feats1, C, T1, Kc1)
-    W_fine = M.build_cell_weights_fine(feats1, C, T1, Kc1, fine_g)
+    g = _effective_fine_g(T1, fine_g)
+    W_fine = (M.build_cell_weights_fine(feats1, C, T1, Kc1, g) if g
+              else jnp.zeros((feats1.oris.shape[0], 0), jnp.int8))
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return ShardedBank(
         W1_rows=put(W1_rows, P("bank", None)),
@@ -502,9 +514,13 @@ def make_sharded_detect_step(
         feats1=feats_spec, feats0=feats_spec,
     )
     sel_thr = max(threshold - coarse_margin, 0.0)
-    if fine_g is not None and T1 % fine_g != 0:
-        fine_g = None
+    fine_g = _effective_fine_g(T1, fine_g)
     m2_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
+    if fine_g:
+        # Catch a bank built with a DIFFERENT g (or fine disabled) at
+        # build time instead of a shape error mid-trace.
+        C_eff = 16 if use_depth else 8
+        exp_cols = (Kc1 * T1 // fine_g) ** 2 * C_eff
 
     def local_step(rgbs, depths, bank):
         n_local = bank.feats1.oris.shape[0]
@@ -528,6 +544,14 @@ def make_sharded_detect_step(
             # (contract bank.W1_rows on its K axis).  Overflows fall back
             # in-graph per shard — no collectives in any branch, so
             # shards can take different branches freely.
+            if bank.W_fine.shape[1] != exp_cols:
+                raise ValueError(
+                    f"bank W_fine has {bank.W_fine.shape[1]} columns but "
+                    f"this step's fine_g={fine_g} needs {exp_cols}: build "
+                    "the bank and the step with the SAME fine_g "
+                    "(make_sharded_bank(fine_g=...), or fine_g=None on "
+                    "both to disable the fine stage)"
+                )
             cand, _plan, _fine = M.match_coarse_pruned_fine_with_fallback(
                 R1, bank.W1_rows.T, bank.W_cell, bank.W_fine,
                 bank.feats1.count, vpos, sel_thr, T1, Kc1, fine_g,

@@ -218,3 +218,30 @@ def test_walk_pallas_noncontiguous_live(rng):
         interpret=True)
     for name, a, b in zip(mx._fields, mx, mp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_walk_cond_fallback_on_noncontiguous_live(rng):
+    """A bank whose live slots are NOT compacted (hole punched directly,
+    bypassing merge_modalities) must route the use_pallas walk through the
+    in-graph XLA-twin fallback — results still bit-equal."""
+    T1, T0, E0 = 8, 5, 56
+    feats = random_bank(rng, 8, fmax=24, extent=E0)
+    live = np.asarray(feats.live).copy()
+    live[:, 2] = False  # hole: slot 2 dead while slots >= cnt-1 stay live
+    feats = feats._replace(live=jnp.asarray(live),
+                           count=jnp.asarray(live.sum(axis=1).astype(np.int32)))
+    R0b = jnp.stack([random_R(rng, 8, 160, 192)] * 2)
+    cand = M.CoarseMatches(
+        template_id=jnp.asarray(rng.integers(0, 8, (2, 5)).astype(np.int32)),
+        cell_y=jnp.asarray(rng.integers(0, 6, (2, 5)).astype(np.int32)),
+        cell_x=jnp.asarray(rng.integers(0, 8, (2, 5)).astype(np.int32)),
+        similarity=jnp.full((2, 5), 90.0, jnp.float32),
+        valid=jnp.ones((2, 5), bool),
+    )
+    mx = M.refine_candidates_opencv_batched(
+        R0b, feats, cand, T1, 50.0, E0=E0, fine_T=T0, use_pallas=False)
+    mp = M.refine_candidates_opencv_batched(
+        R0b, feats, cand, T1, 50.0, E0=E0, fine_T=T0, use_pallas=True,
+        interpret=True)
+    for name, a, b in zip(mx._fields, mx, mp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)

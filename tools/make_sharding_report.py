@@ -150,10 +150,13 @@ def main():
         "templates_per_shard": int(n_local),
         "per_shard_bytes": shard_bytes,
         "per_shard_survivor_gemm": {
-            "patches": [B_local, m_cap, K_dim],
+            "patches": [B_local, m_cap // 2, K_dim],
             "weights": [K_dim, n_local],
-            "out": [B_local, m_cap, n_local],
-            "int8_macs": int(B_local * m_cap * K_dim * n_local),
+            "out": [B_local, m_cap // 2, n_local],
+            "int8_macs": int(B_local * (m_cap // 2) * K_dim * n_local),
+            "note": "fine stage (default fine_pos_cap = m_cap // 2) "
+                    "compacts positions before the exact GEMM; the "
+                    "coarse-fallback branch runs it at m_cap rows",
         },
         "per_shard_fine_ub_gemm": {
             "patches": [B_local * m_cap, KS * KS * C],
