@@ -90,6 +90,39 @@ def test_sharded_detect_step_runs(rng, mesh8):
     assert -1.0 <= float(metrics["best_similarity"]) <= 100.0
 
 
+def test_sharded_bank_fine_g_coupling(rng, mesh8):
+    """make_sharded_bank and make_sharded_detect_step must agree on
+    fine_g: a mismatched pair fails at BUILD time with a clear error,
+    and the fine_g=None pair runs coarse-only end-to-end."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T0, T1, E1 = 5, 8, 16
+    Kc1 = (E1 - 1) // T1 + 1
+    f1 = random_bank(rng, 16, extent=E1)
+    f0 = random_bank(rng, 16, extent=2 * E1)
+    rgbs = jnp.asarray(rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8))
+    depths = jnp.zeros((2, 64, 64), jnp.float32)
+    rgbs = jax.device_put(rgbs, NamedSharding(mesh8, P("data")))
+    depths = jax.device_put(depths, NamedSharding(mesh8, P("data")))
+
+    # Disabled on both sides: zero-width W_fine placeholder, coarse-only.
+    sb_off = make_sharded_bank(mesh8, f1, f0, C=8, T1=T1, Kc1=Kc1, fine_g=None)
+    assert sb_off.W_fine.shape[1] == 0
+    step_off = make_sharded_detect_step(
+        mesh8, T1, Kc1, top_k=8, threshold=0.0, T0=T0, E0=2 * E1, fine_g=None
+    )
+    mat, _ = step_off(rgbs, depths, sb_off)
+    assert mat.template_id.shape == (2, 8)
+
+    # Mismatch (bank fine off, step fine on): clear build-time error.
+    step_on = make_sharded_detect_step(
+        mesh8, T1, Kc1, top_k=8, threshold=0.0, T0=T0, E0=2 * E1
+    )
+    with pytest.raises(ValueError, match="fine_g"):
+        step_on(rgbs, depths, sb_off)
+
+
 @pytest.mark.slow
 def test_sharded_detect_equals_single_device(rng, mesh8):
     """The sharded step (GEMM coarse + per-shard refine + ICI merge) must
