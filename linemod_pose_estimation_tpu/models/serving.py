@@ -316,6 +316,11 @@ class MultiClassBatchedMatcher:
     def match_batch(self, rgbs, depths_mm=None) -> dict[str, M.Matches]:
         """(B, H, W, 3) uint8 [+ (B, H, W) mm] -> {class_id: Matches} with
         (B, top_k) arrays, template ids re-based per class."""
+        if self.use_depth and depths_mm is None:
+            raise ValueError(
+                "this bank uses the DepthNormal modality: match_batch "
+                "requires depths_mm (B, H, W) in millimetres"
+            )
         if self.use_depth:
             R0, R1 = self._pre(rgbs, depths_mm)
         else:

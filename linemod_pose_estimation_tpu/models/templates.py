@@ -48,14 +48,23 @@ def _maybe_ungz(path: str) -> str:
     ).hexdigest()[:16]
     dst = os.path.join(tempfile.gettempdir(), f"lpe_bank_{tag}.yml")
     if not os.path.exists(dst):
-        tmp = dst + ".part"
-        with gzip.open(path, "rb") as f, open(tmp, "wb") as g:
-            while True:
-                chunk = f.read(1 << 20)
-                if not chunk:
-                    break
-                g.write(chunk)
-        os.replace(tmp, dst)
+        # Unique temp per process: concurrent loaders (pytest-xdist, two
+        # serving processes) would otherwise interleave writes into one
+        # shared .part file and publish a corrupt bank; with per-process
+        # temps the atomic os.replace makes the race last-writer-wins
+        # with identical content.
+        tmp = f"{dst}.{os.getpid()}.part"
+        try:
+            with gzip.open(path, "rb") as f, open(tmp, "wb") as g:
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    g.write(chunk)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return dst
 
 

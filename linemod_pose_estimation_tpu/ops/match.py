@@ -91,10 +91,7 @@ def merge_modalities(
     # raw units per candidate on the real dual-modality bank).  Every
     # consumer is order-invariant (weights are scatter-adds, the walk is
     # a sum), so compaction is free exactness insurance.
-    order = jnp.argsort(~live, axis=1, stable=True)
-    offs = jnp.take_along_axis(offs, order[..., None], axis=1)
-    oris = jnp.take_along_axis(oris, order, axis=1)
-    live = jnp.take_along_axis(live, order, axis=1)
+    offs, oris, live = _compact_live_slots(offs, oris, live)
     count = sum(f.count for f in feats)
     size = jnp.max(jnp.stack([f.size for f in feats]), axis=0)
     R = jnp.concatenate(list(response_maps), axis=0)
@@ -621,7 +618,15 @@ def prune_positions_batched(
 
         return f
 
-    int16_safe = (jnp.max(total_features) <= 8191) & (jnp.max(t_f) <= 32767.0)
+    # int16 needs BOTH the dot (ub <= 4 * max_nf) and the margin
+    # (ub - t_int <= 4 * max_nf - min_t, which grows when a low threshold
+    # makes t_int negative) to fit — otherwise the margin wraps and
+    # above-threshold positions are silently pruned.
+    int16_safe = (
+        (jnp.max(total_features) <= 8191)
+        & (jnp.max(t_f) <= 32767.0)
+        & (4.0 * jnp.max(total_features) - jnp.min(t_f) <= 32767.0)
+    )
     p_score = jax.lax.cond(
         int16_safe, _margin_max(jnp.int16), _margin_max(jnp.int32)
     )  # (B, P)
@@ -945,11 +950,7 @@ def match_coarse_pruned_fine_with_fallback(
     pp = prune_positions_batched(
         Rb, W_cell, total_features, vpos_flat, threshold, T, Kc, m_cap
     )
-    ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
-    fp = fine_plan_from_ub(
-        ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep, threshold,
-        m2_cap,
-    )
+    km2 = min(m2_cap, pp.p_idx.shape[1])
 
     def _sel(raw, pi, pk):
         return jax.vmap(
@@ -958,32 +959,49 @@ def match_coarse_pruned_fine_with_fallback(
             )
         )(raw, pi, pk)
 
-    def _fine(_):
-        raw = coarse_scores_gemm_flat_batched_pos(
-            Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas
-        )
-        return _sel(raw, fp.p_idx, fp.p_keep)
-
     def _coarse(_):
         raw = coarse_scores_gemm_flat_batched_pos(
             Rb, W_gemm, pp.p_idx, T, Kc, use_pallas=use_pallas
         )
         return _sel(raw, pp.p_idx, pp.p_keep)
 
+    def _pruned(_):
+        # The fine bound lives INSIDE the non-overflow branch: a
+        # coarse-overflow batch goes straight to the exhaustive pass
+        # without paying the fine-stage GEMM it would discard.
+        ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
+        fp = fine_plan_from_ub(
+            ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep, threshold,
+            m2_cap,
+        )
+
+        def _fine(_):
+            raw = coarse_scores_gemm_flat_batched_pos(
+                Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas
+            )
+            return _sel(raw, fp.p_idx, fp.p_keep)
+
+        return jax.lax.cond(fp.overflow, _coarse, _fine, None), fp
+
     def _exhaustive(_):
         raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
-        return jax.vmap(
+        cands = jax.vmap(
             lambda r: select_candidates_flat(
                 r, total_features, vpos_flat, threshold, top_k, Wc
             )
         )(raw)
+        # Placeholder plan (the fine stage never ran): shapes match the
+        # live branch; p_keep all-False marks it as holding nothing.
+        B = Rb.shape[0]
+        dummy = FinePlan(
+            pp.p_idx[:, :km2],
+            jnp.zeros((B, km2), bool),
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(False),
+        )
+        return cands, dummy
 
-    cands = jax.lax.cond(
-        pp.overflow,
-        _exhaustive,
-        lambda _: jax.lax.cond(fp.overflow, _coarse, _fine, None),
-        None,
-    )
+    cands, fp = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
     return cands, pp, fp
 
 
@@ -1147,24 +1165,24 @@ def match_coarse_pruned_multiclass(
         return out
 
     if g is not None and W_fine is not None:
-        ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
-        fp = fine_plan_from_ub(
-            ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep, thr_min,
-            m2_cap or max(m_cap // 2, 1),
-        )
-
-        def _fine(_):
-            raw = coarse_scores_gemm_flat_batched_pos(
-                Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas,
+        def _pruned(_):
+            # Fine stage only in the non-overflow branch (see the
+            # single-class orchestrator).
+            ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
+            fp = fine_plan_from_ub(
+                ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep,
+                thr_min, m2_cap or max(m_cap // 2, 1),
             )
-            return _sel_pos(raw, fp.p_idx, fp.p_keep)
 
-        cands = jax.lax.cond(
-            pp.overflow,
-            _exhaustive,
-            lambda _: jax.lax.cond(fp.overflow, _coarse, _fine, None),
-            None,
-        )
+            def _fine(_):
+                raw = coarse_scores_gemm_flat_batched_pos(
+                    Rb, W_gemm, fp.p_idx, T, Kc, use_pallas=use_pallas,
+                )
+                return _sel_pos(raw, fp.p_idx, fp.p_keep)
+
+            return jax.lax.cond(fp.overflow, _coarse, _fine, None)
+
+        cands = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
     else:
         cands = jax.lax.cond(pp.overflow, _exhaustive, _coarse, None)
     return cands, pp
@@ -1279,17 +1297,19 @@ def select_candidates_flat(
 
 
 def _compact_live_slots(offs, oris, live):
-    """Stable live-first permutation of per-candidate feature slots.
+    """Stable live-first permutation of feature slots (per template or per
+    candidate): returns (offsets, oris, live) reordered so live slots
+    occupy [0, nf).
 
-    The Pallas refiners mask features by f < nf, which requires live slots
-    at [0, nf); rather than trusting every producer (a raw dual-modality
-    concat violated it and silently mis-scored until merge_modalities grew
-    its compaction), the pallas branches enforce it here — a no-op
-    permutation for contiguous banks, ~0.1 ms at reference scale."""
+    The Pallas refiners mask features by f < nf, which requires exactly
+    this invariant; merge_modalities establishes it at bank build and the
+    window-refiner pallas branches enforce it per call (a no-op
+    permutation for contiguous banks)."""
     order = jnp.argsort(~live, axis=1, stable=True)
     return (
         jnp.take_along_axis(offs, order[..., None], axis=1),
         jnp.take_along_axis(oris, order, axis=1),
+        jnp.take_along_axis(live, order, axis=1),
     )
 
 
@@ -1384,7 +1404,7 @@ def refine_candidates_pallas(
     cnt = feats0.count[t]
     # Padded slots: point them at the patch corner; the kernel masks f >= nf
     # (live slots compacted to [0, nf) first — see _compact_live_slots).
-    offs_c, oris_c = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
+    offs_c, oris_c, _ = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
     scores = refine_scores_pallas(
         R0,
         oris_c,
@@ -1436,7 +1456,7 @@ def refine_candidates_pallas_batched(
     offs = feats0.offsets[t]
     cnt = feats0.count[t]
     frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
-    offs_c, oris_c = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
+    offs_c, oris_c, _ = _compact_live_slots(offs, feats0.oris[t], feats0.live[t])
     scores = refine_scores_pallas(
         R0,
         oris_c,
@@ -1947,6 +1967,14 @@ def preprocess_frames_batched(
     TPU only); everything else — pyrDown, DepthNormal, spread/response —
     stays on the XLA formulations, which fuse well under vmap.
     """
+    if use_depth and depths_mm is None:
+        # The two backends used to diverge here (XLA substituted a zero
+        # depth frame and returned 16 channels; Pallas silently returned
+        # 8): a DepthNormal bank without depth is a caller error either
+        # way, so fail identically on both.
+        raise ValueError(
+            "use_depth=True requires depths_mm (B, H, W) in millimetres"
+        )
     if not use_pallas_quant:
         return jax.vmap(
             lambda r, d: stack_modalities(

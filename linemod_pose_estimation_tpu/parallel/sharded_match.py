@@ -224,6 +224,14 @@ def make_row_sharded_matcher(
             "stripe's y_origin must land on the grid "
             f"(H0/n = {R0_loc.shape[1]}, T0 = {T0})"
         )
+        assert R1_loc.shape[1] % T1 == 0, (
+            "row stripes must be multiples of T1 at level 1: anchor cells "
+            "are phase-locked to the GLOBAL T1 grid, and the global-cell "
+            "re-base idx * (H1/n // T1) floors otherwise — positions "
+            "would silently shift vs the single-device engine "
+            f"(H1/n = {R1_loc.shape[1]}, T1 = {T1}; level-0 stripes must "
+            f"be multiples of lcm(2*T1, T0))"
+        )
         idx = jax.lax.axis_index(axis)
 
         def pull_next_rows(X, rows):
