@@ -566,12 +566,14 @@ def make_sharded_detect_step(
                 prune_pos_cap, m2_cap, top_k, Wc,
                 use_pallas=use_pallas_refine,
             )
+            n_fallback = (_plan.overflow | _fine.overflow).astype(jnp.int32)
         elif prune and prune_mode == "positions":
             cand, _plan = M.match_coarse_pruned_with_fallback(
                 R1, bank.W1_rows.T, bank.W_cell, bank.feats1.count, vpos,
                 sel_thr, T1, Kc1, prune_pos_cap, top_k, Wc,
                 use_pallas=use_pallas_refine,
             )
+            n_fallback = _plan.overflow.astype(jnp.int32)
         elif prune:
             plan = M.prune_plan_batched(
                 R1, bank.W_cell, bank.feats1.count, vpos, sel_thr, T1, Kc1,
@@ -586,6 +588,7 @@ def make_sharded_detect_step(
                     pi, pk, sel_thr, top_k, Wc,
                 )
             )(raw_sub, plan.p_idx, plan.p_keep)
+            n_fallback = plan.overflow.astype(jnp.int32)
         else:
             raw = M.coarse_scores_gemm_flat_batched(R1, bank.W1_rows.T, T1, Kc1)
             cand = jax.vmap(
@@ -593,6 +596,7 @@ def make_sharded_detect_step(
                     r, bank.feats1.count, vpos, sel_thr, top_k, Wc
                 )
             )(raw)
+            n_fallback = jnp.int32(0)
 
         ref = M.refine_candidates_opencv_batched(
             R0, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0,
@@ -609,7 +613,12 @@ def make_sharded_detect_step(
         best = jax.lax.pmax(
             jnp.max(jnp.where(merged.valid, merged.similarity, -1.0)), ("data", "bank")
         )
-        return merged, {"num_matches": num, "best_similarity": best}
+        # Shards that took an in-graph fallback this step (results stay
+        # exact either way — this surfaces the capacity pressure that
+        # used to live only in shard-local plans).
+        fb = jax.lax.psum(n_fallback, ("data", "bank"))
+        return merged, {"num_matches": num, "best_similarity": best,
+                        "prune_fallback_shards": fb}
 
     out_spec = M.Matches(
         template_id=P("data"), x=P("data"), y=P("data"),
@@ -619,7 +628,8 @@ def make_sharded_detect_step(
         local_step,
         mesh=mesh,
         in_specs=(P("data"), P("data"), bank_spec),
-        out_specs=(out_spec, {"num_matches": P(), "best_similarity": P()}),
+        out_specs=(out_spec, {"num_matches": P(), "best_similarity": P(),
+                              "prune_fallback_shards": P()}),
         check_vma=False,
     )
     return jax.jit(fn)
