@@ -73,7 +73,8 @@ class BatchedMatcher:
         self.prune_cap = min(prune_cap, int(self.feats1.oris.shape[0]))
         self.prune_pos_cap = prune_pos_cap
         self.fine_g = fine_g if self.T1 % (fine_g or 1) == 0 else None
-        self.fine_pos_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
+        self.fine_pos_cap = M._default_cap(fine_pos_cap, prune_pos_cap,
+                                           "fine_pos_cap")
         self.last_prune = None
         self.last_fine = None
         self.W_fine = None
@@ -271,7 +272,8 @@ class MultiClassBatchedMatcher:
             for i in range(len(bases))
         )
         self.fine_g = fine_g if self.T1 % (fine_g or 1) == 0 else None
-        self.fine_pos_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
+        self.fine_pos_cap = M._default_cap(fine_pos_cap, prune_pos_cap,
+                                           "fine_pos_cap")
         C = 16 if self.use_depth else 8
         self.W1 = M.build_gemm_weights(f1, C, self.T1, self.Kc1)
         self.W_cell = M.build_cell_weights(f1, C, self.T1, self.Kc1)

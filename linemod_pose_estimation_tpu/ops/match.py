@@ -654,7 +654,7 @@ def gather_cell_patches_onehot(
     L4: (B, Hc + Kc, Wc + Kc, CTT) int8 linearized cell tensor; p_idx:
     (B, m) flat survivor cells.  Returns (B, m, Kc * Kc * CTT) int8 ==
     L4[b, py+qy, px+qx, :] stacked in (qy, qx) order — bit-identical to
-    the XLA row gather and to pallas_kernels.gather_cell_patches.
+    the XLA row-gather fallback in assemble_survivor_patches.
 
     The 2-D window gather is separable: select the Kc columns per
     survivor by a one-hot (Wx, Kc) matmul (the 1 KB-row axis where
@@ -1059,6 +1059,17 @@ def match_coarse_pruned_with_fallback(
     return cands, pp
 
 
+def _default_cap(cap: int | None, parent_cap: int, name: str) -> int:
+    """None -> half the parent cap; non-positive explicit values error
+    (an explicit 0 must not silently become the default)."""
+    if cap is None:
+        return max(parent_cap // 2, 1)
+    if cap <= 0:
+        raise ValueError(f"{name} must be positive (got {cap}); pass None "
+                         "for the default")
+    return cap
+
+
 def concat_level_features(feats_list: list[LevelFeatures]) -> tuple[LevelFeatures, tuple[int, ...]]:
     """Merge several classes' LevelFeatures into ONE template axis.
 
@@ -1126,7 +1137,10 @@ def match_coarse_pruned_multiclass(
     N = W_gemm.shape[1]
     thr_min = min(thresholds)
     if g is not None and T % g != 0:
-        g = None
+        # Match build_cell_weights_fine and the sharded step: an
+        # indivisible g is a caller error, not a silent coarse-only run.
+        raise ValueError(f"g={g} must divide T={T} (pass g=None to disable "
+                         "the fine stage)")
     pp = prune_positions_batched(
         Rb, W_cell, total_features, vpos_flat, thr_min, T, Kc, m_cap
     )
@@ -1171,7 +1185,7 @@ def match_coarse_pruned_multiclass(
             ubf = fine_ub_at_survivors(Rb, pp.p_idx, W_fine, T, Kc, g)
             fp = fine_plan_from_ub(
                 ubf, total_features, vpos_flat, pp.p_idx, pp.p_keep,
-                thr_min, m2_cap or max(m_cap // 2, 1),
+                thr_min, _default_cap(m2_cap, m_cap, "m2_cap"),
             )
 
             def _fine(_):

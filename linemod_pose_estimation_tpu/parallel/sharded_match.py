@@ -555,10 +555,12 @@ def make_sharded_detect_step(
             if bank.W_fine.shape[1] != exp_cols:
                 raise ValueError(
                     f"bank W_fine has {bank.W_fine.shape[1]} columns but "
-                    f"this step's fine_g={fine_g} needs {exp_cols}: build "
-                    "the bank and the step with the SAME fine_g "
-                    "(make_sharded_bank(fine_g=...), or fine_g=None on "
-                    "both to disable the fine stage)"
+                    f"this step's fine_g={fine_g} needs {exp_cols} "
+                    f"(= (Kc1*T1/g)^2 * C with Kc1={Kc1}, T1={T1}, "
+                    f"C={C_eff} from use_depth={use_depth}): build the "
+                    "bank and the step with the SAME fine_g AND C "
+                    "(make_sharded_bank(fine_g=..., C=...), or "
+                    "fine_g=None on both to disable the fine stage)"
                 )
             cand, _plan, _fine = M.match_coarse_pruned_fine_with_fallback(
                 R1, bank.W1_rows.T, bank.W_cell, bank.W_fine,
