@@ -49,12 +49,26 @@ class BatchedMatcher:
     unchanged — the fine bound still dominates the exact score, and its
     own in-graph fallback re-runs the coarse survivor set on overflow
     (`self.last_fine`, a FinePlan, reports it).  `fine_g=None` disables
-    the stage."""
+    the stage.
+
+    `prune_mode="pooled"` (the PRODUCTION mode) replaces the per-frame
+    survivor caps with ONE batch-shared frame-major pool per stage
+    (ops.match.match_pooled_fine_with_fallback): a busy frame takes more
+    pool slots instead of tripping the whole batch into the fallback, so
+    the pools run at ~1.3x the mean survivor count where per-frame caps
+    needed ~2x.  `pool_coarse`/`pool_fine` size the two pools (None ->
+    64/32 slots per batch frame); `sel_row_cap` bounds the per-frame
+    select range (cheap — no GEMM scales with it).  The refinement walk
+    additionally skips the sub-threshold top-k filler via the per-frame
+    valid-prefix count the pooled select returns.  `self.last_pool` (a
+    PooledStats) reports true survivor totals and any fallback."""
 
     def __init__(self, detector, class_id: str, threshold: float, batch: int,
                  top_k: int = 256, prune: bool = False, prune_cap: int = 1024,
                  prune_pos_cap: int = 256, prune_mode: str = "positions",
-                 fine_g: int | None = 4, fine_pos_cap: int | None = None):
+                 fine_g: int | None = 4, fine_pos_cap: int | None = None,
+                 pool_coarse: int | None = None, pool_fine: int | None = None,
+                 sel_row_cap: int = 128):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -77,7 +91,14 @@ class BatchedMatcher:
                                            "fine_pos_cap")
         self.last_prune = None
         self.last_fine = None
+        self.last_pool = None
+        self.pool_coarse = pool_coarse if pool_coarse is not None else 64 * batch
+        self.pool_fine = pool_fine if pool_fine is not None else 32 * batch
+        self.sel_row_cap = sel_row_cap
         self.W_fine = None
+        if prune_mode == "pooled" and not self.fine_g:
+            raise ValueError("prune_mode='pooled' requires a fine_g that "
+                             f"divides T1={self.T1}")
         if prune:
             n_mod = 2 if self.use_depth else 1
             if prune_mode == "two_axis":
@@ -85,7 +106,7 @@ class BatchedMatcher:
             self.W_cell = M.build_cell_weights(
                 self.feats1, 8 * n_mod, self.T1, self.Kc1
             )
-            if prune_mode == "positions" and self.fine_g:
+            if prune_mode in ("positions", "pooled") and self.fine_g:
                 self.W_fine = M.build_cell_weights_fine(
                     self.feats1, 8 * n_mod, self.T1, self.Kc1, self.fine_g
                 )
@@ -115,7 +136,20 @@ class BatchedMatcher:
             jax.vmap(_sel, in_axes=(0, None, None, None)),
             static_argnames=("Hc", "Wc"),
         )
-        if self.prune and self.prune_mode == "positions":
+        if self.prune and self.prune_mode == "pooled":
+            g = self.fine_g
+            p1, p2, rcap = self.pool_coarse, self.pool_fine, self.sel_row_cap
+
+            def _match_pool(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.match_pooled_fine_with_fallback(
+                    Rb, W_gemm, W_cell, W_fine, f1.count, vpos, thr - 5.0,
+                    T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap,
+                )
+
+            self._match_pool = jax.jit(_match_pool,
+                                       static_argnames=("Hc", "Wc"))
+        elif self.prune and self.prune_mode == "positions":
             m_cap = self.prune_pos_cap
             g, m2_cap = self.fine_g, self.fine_pos_cap
             # One-hot MXU patch gather on TPU (XLA's generic gather for
@@ -179,6 +213,14 @@ class BatchedMatcher:
                 use_pallas=walk_pallas,
             )
         )
+        # Pooled mode's walk: skip the sub-threshold top-k filler slots
+        # (the select's per-frame valid-prefix count rides along).
+        self._refine_nv = jax.jit(
+            lambda R0, cand, f0, nv: M.refine_candidates_opencv_batched(
+                R0, f0, cand, T1, thr, E0=E0, fine_T=T0,
+                use_pallas=walk_pallas, n_valid=nv,
+            )
+        )
 
     def match_batch(
         self, rgbs: jnp.ndarray, depths_mm: jnp.ndarray | None = None
@@ -195,6 +237,11 @@ class BatchedMatcher:
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
+        if self.prune and self.prune_mode == "pooled":
+            cands, n_valid, stats = self._match_pool(
+                R1, self.W1, self.W_cell, self.W_fine, self.feats1, Hc, Wc)
+            self.last_pool = stats
+            return self._refine_nv(R0, cands, self.feats0, n_valid)
         if self.prune and self.prune_mode == "positions":
             # One fused program: prune -> fine re-test -> lax.cond
             # (overflow: coarse survivors / exhaustive) -> select.

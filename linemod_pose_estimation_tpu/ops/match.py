@@ -590,6 +590,41 @@ def prune_positions_batched(
     B, C, H, W = Rb.shape
     Hc, Wc = H // T, W // T
     N = W_cell.shape[0]
+    p_score = position_margins_batched(
+        Rb, W_cell, total_features, vpos_flat, threshold, T, Kc
+    )
+    p_elig = p_score >= 0
+    m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
+    km = min(m_cap, Hc * Wc)
+    pv, p_idx = jax.lax.top_k(jnp.where(p_elig, p_score, -(2**30)), km)
+
+    return PrunePlan(
+        jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool),
+        p_idx.astype(jnp.int32), pv > -(2**30),
+        jnp.asarray(N, jnp.int32), m_surv, jnp.any(m_surv > km),
+    )
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def position_margins_batched(
+    Rb: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+) -> jnp.ndarray:
+    """The shared bound pass of the position-pruning paths: (B, P) int32
+    margins max_n(ub(p, n) - t_int[n]) with invalid positions at a deep
+    sentinel — a position can hold an above-threshold match iff its margin
+    is >= 0 (the cell-max bound dominates the exact response at every
+    feature; slack rule in int_score_threshold).  Used by both the
+    per-frame-cap planner (prune_positions_batched) and the batch-shared
+    pool planner (pool_plan_from_margins)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc = H // T, W // T
+    N = W_cell.shape[0]
     P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * Hc * Wc, -1)
     t_f = int_score_threshold(threshold, total_features)
 
@@ -630,16 +665,7 @@ def prune_positions_batched(
     p_score = jax.lax.cond(
         int16_safe, _margin_max(jnp.int16), _margin_max(jnp.int32)
     )  # (B, P)
-    p_elig = p_score >= 0
-    m_surv = jnp.sum(p_elig.astype(jnp.int32), axis=1)
-    km = min(m_cap, Hc * Wc)
-    pv, p_idx = jax.lax.top_k(jnp.where(p_elig, p_score, -(2**30)), km)
-
-    return PrunePlan(
-        jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool),
-        p_idx.astype(jnp.int32), pv > -(2**30),
-        jnp.asarray(N, jnp.int32), m_surv, jnp.any(m_surv > km),
-    )
+    return p_score
 
 
 @partial(jax.jit, static_argnames=("Kc", "Wc"))
@@ -1057,6 +1083,371 @@ def match_coarse_pruned_with_fallback(
 
     cands = jax.lax.cond(pp.overflow, _exhaustive, _pruned, None)
     return cands, pp
+
+
+# ---------------------------------------------------------------------------
+# Batch-shared survivor POOL: per-frame fallback granularity.
+#
+# The per-frame-cap planner above sizes every stage by B * m_cap and trips
+# its in-graph fallback when ANY frame exceeds the cap (jnp.any over the
+# batch) — one busy frame makes the whole batch pay the slow branch, which
+# forces conservative caps (PERF.md: m_cap 64 fell to 194 fps).  Here the
+# survivor axis is ONE flat pool shared by the batch: each candidate carries
+# its frame id, a busy frame simply takes more pool slots, and the only
+# overflow condition is the batch-TOTAL survivor count — whose variance is
+# far smaller than the per-frame max, so the pool runs at ~1.3x the mean
+# where per-frame caps needed ~2x.  The pool is built FRAME-MAJOR (exact
+# order-preserving compaction, no sort), so per-frame selection reads a
+# contiguous slot range and reuses the per-frame select kernel unchanged.
+# Exactness contract is identical to the capped path: every stage bound
+# dominates the exact score, and any overflow (or select-capacity miss)
+# routes the batch through the exhaustive GEMM in-graph
+# (cv::linemod scores every position — rgbdDetector.cpp:31-34).
+# ---------------------------------------------------------------------------
+
+
+class PoolPlan(NamedTuple):
+    """Frame-major survivor pool over a frame batch.
+
+    frame: (M,) int32 — owning frame per pool slot (nondecreasing)
+    pos:   (M,) int32 — flat coarse cell within that frame
+    keep:  (M,) bool  — slot holds a live survivor
+    starts:(B,) int32 — first pool slot of each frame (exclusive cumsum of
+                        m_survivors; valid only while total <= M)
+    m_survivors: (B,) int32 — TRUE per-frame eligible counts (uncapped)
+    total: ()  int32 — true batch-total eligible count
+    overflow: () bool — total > M: the pool is truncated and callers must
+                        take the exhaustive fallback to stay exact
+    """
+
+    frame: jnp.ndarray
+    pos: jnp.ndarray
+    keep: jnp.ndarray
+    starts: jnp.ndarray
+    m_survivors: jnp.ndarray
+    total: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_eligible_flat(elig: jnp.ndarray, cap: int):
+    """Exact, order-preserving compaction of the set bits of `elig` (L,)
+    into `cap` slots: (idx (cap,) int32 ascending, keep (cap,), total ()).
+
+    Sort-free (TPU sorts of even ~1k keys cost milliseconds — PERF.md):
+    exclusive-cumsum ranks + ONE one-hot f32 matmul recover the i-th set
+    bit's index (L < 2^24 keeps f32 index arithmetic exact).  When
+    total > cap the first `cap` eligible entries fill the pool and the
+    caller must treat the plan as overflowed; dead slots hold idx 0."""
+    L = elig.shape[0]
+    e32 = elig.astype(jnp.int32)
+    r = jnp.cumsum(e32) - e32  # exclusive rank of each entry
+    total = r[-1] + e32[-1]
+    oh = jnp.where(
+        elig[:, None] & (r[:, None] == jnp.arange(cap, dtype=jnp.int32)[None, :]),
+        jnp.float32(1.0), jnp.float32(0.0),
+    )  # (L, cap)
+    idx = jax.lax.dot_general(
+        oh, jnp.arange(L, dtype=jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+    )  # (cap,)
+    keep = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+    return idx.astype(jnp.int32), keep, total
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def pool_plan_from_margins(margins: jnp.ndarray, cap: int) -> PoolPlan:
+    """(B, P) int32 position margins (position_margins_batched) -> the
+    frame-major PoolPlan of every eligible (margin >= 0) position."""
+    B, P = margins.shape
+    elig = (margins >= 0).reshape(-1)
+    idx, keep, total = _compact_eligible_flat(elig, cap)
+    m_surv = jnp.sum((margins >= 0).astype(jnp.int32), axis=1)
+    starts = jnp.cumsum(m_surv) - m_surv
+    return PoolPlan(
+        frame=idx // P, pos=idx % P, keep=keep, starts=starts,
+        m_survivors=m_surv, total=total, overflow=total > cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("K",))
+def gather_windows_pooled(
+    L3: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray, K: int
+) -> jnp.ndarray:
+    """Window gather over a flat candidate POOL as two one-hot int8 MXU
+    contractions: out[m, qy, qx, :] = L3[row0[m]+qy, col0[m]+qx, :].
+
+    L3: (G, Wx, Ct) int8 — frame-STACKED row-linearized planes (G = B*Hy);
+    a candidate's K consecutive rows stay inside its frame's Hy block
+    because each per-frame plane carries K rows of bottom padding.  Rows
+    contract FIRST: the row one-hot folds the frame selection and the
+    window-row selection into one contraction, which is what lets one
+    flat pool address the whole batch (the per-frame twin is
+    gather_cell_patches_onehot).  Returns (M, K*K*Ct) int8 in the
+    (qy*K + qx)*Ct + lane order of _gemm_patches / build_gemm_weights."""
+    G, Wx, Ct = L3.shape
+    M_ = row0.shape[0]
+    g_ = jnp.arange(G, dtype=jnp.int32)
+    x_ = jnp.arange(Wx, dtype=jnp.int32)
+    q = jnp.arange(K, dtype=jnp.int32)
+    Rsel = (
+        g_[None, :, None] == (row0[:, None, None] + q[None, None, :])
+    ).astype(jnp.int8)  # (M, G, K)
+    Csel = (
+        x_[None, :, None] == (col0[:, None, None] + q[None, None, :])
+    ).astype(jnp.int8)  # (M, Wx, K)
+    s1 = jnp.einsum(
+        "gxt,mgr->mrxt", L3, Rsel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (M, K, Wx, Ct)
+    s2 = jnp.einsum(
+        "mrxt,mxq->mrqt", s1, Csel, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)  # (M, K, K, Ct), (qy, qx) order
+    return s2.reshape(M_, K * K * Ct)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc", "g"))
+def fine_ub_at_pool(
+    Rb: jnp.ndarray,
+    frame: jnp.ndarray,
+    pos: jnp.ndarray,
+    W_fine: jnp.ndarray,
+    T: int,
+    Kc: int,
+    g: int,
+) -> jnp.ndarray:
+    """Second-stage (g x g subcell) upper bound at POOL candidates:
+    (M, N) int32 — the pooled twin of fine_ub_at_survivors (same bound,
+    same weights; the patch gather rides gather_windows_pooled over the
+    frame-stacked pooled plane)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc_ = H // T, W // T
+    S = T // g
+    KS = Kc * S
+    Hs, Ws = Hc * S, Wc_ * S
+    Rm = Rb[:, :, : Hc * T, : Wc_ * T].reshape(B, C, Hs, g, Ws, g).max(axis=(3, 5))
+    Pp = jnp.pad(
+        Rm.transpose(0, 2, 3, 1), [(0, 0), (0, KS), (0, KS), (0, 0)]
+    ).astype(jnp.int8)  # (B, Hs+KS, Ws+KS, C)
+    Hy = Hs + KS
+    L3 = Pp.reshape(B * Hy, Ws + KS, C)
+    row0 = frame * Hy + (pos // Wc_) * S
+    col0 = (pos % Wc_) * S
+    M_ = frame.shape[0]
+    Pub = gather_windows_pooled(L3, row0, col0, KS).reshape(M_, KS * KS * C)
+    return jax.lax.dot_general(
+        Pub, W_fine,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (M, N)
+
+
+@partial(jax.jit, static_argnames=("T", "Kc"))
+def coarse_scores_gemm_pooled(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    frame: jnp.ndarray,
+    pos: jnp.ndarray,
+    T: int,
+    Kc: int,
+) -> jnp.ndarray:
+    """Exact coarse GEMM over POOL candidates: (M, N) int32 with the same
+    static (K, N) weight matrix as the exhaustive engine (the pooled twin
+    of coarse_scores_gemm_flat_batched_pos; scores are bit-identical rows
+    of the exhaustive GEMM)."""
+    B, C, H, W = Rb.shape
+    Hc, Wc_ = H // T, W // T
+    L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
+    Hy = Hc + Kc
+    CTT = C * T * T
+    L3 = L.reshape(B * Hy, Wc_ + Kc, CTT).astype(jnp.int8)
+    row0 = frame * Hy + pos // Wc_
+    col0 = pos % Wc_
+    M_ = frame.shape[0]
+    P_sub = gather_windows_pooled(L3, row0, col0, Kc)
+    return jax.lax.dot_general(
+        P_sub, W_gemm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (M, N)
+
+
+@partial(jax.jit, static_argnames=("top_k", "Wc", "r_cap"))
+def select_candidates_pooled(
+    raw: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    frame: jnp.ndarray,
+    pos: jnp.ndarray,
+    keep: jnp.ndarray,
+    starts: jnp.ndarray,
+    m_survivors: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+    Wc: int,
+    r_cap: int,
+):
+    """Per-frame candidate selection from pooled scores (M, N): the
+    frame-major pool makes each frame's rows a contiguous slot range, so
+    frame b selects over a (r_cap, N) dynamic slice at starts[b] masked to
+    its own rows — the SAME select_candidates_flat_pos kernel (and approx
+    top-k semantics) as the per-frame-cap path.  r_cap only sizes this
+    cheap select pass (one masked f32 convert over B*r_cap*N), not any
+    GEMM; a frame with more than r_cap pool rows sets sel_overflow and the
+    caller falls back to stay exact.
+
+    Returns (CoarseMatches (B, top_k), n_valid (B,), sel_overflow ())."""
+    M_, N = raw.shape
+    B = starts.shape[0]
+    rc = min(r_cap, M_)
+    sel_overflow = jnp.any(m_survivors > rc)
+
+    def one(b):
+        s = jnp.clip(starts[b], 0, M_ - rc)
+        rows = jax.lax.dynamic_slice(raw, (s, jnp.int32(0)), (rc, N))
+        pos_b = jax.lax.dynamic_slice(pos, (s,), (rc,))
+        fr_b = jax.lax.dynamic_slice(frame, (s,), (rc,))
+        kp_b = jax.lax.dynamic_slice(keep, (s,), (rc,)) & (fr_b == b)
+        return select_candidates_flat_pos(
+            rows, total_features, vpos_flat, pos_b, kp_b, threshold, top_k, Wc
+        )
+
+    cands = jax.vmap(one)(jnp.arange(B, dtype=jnp.int32))
+    n_valid = jnp.sum(cands.valid.astype(jnp.int32), axis=1)
+    return cands, n_valid, sel_overflow
+
+
+class PooledStats(NamedTuple):
+    """Capacity telemetry of one pooled match step (all device-side).
+
+    coarse_total/fine_total: () int32 — TRUE batch-total survivors
+    coarse_m/fine_m: (B,) int32 — TRUE per-frame survivor counts
+    coarse_overflow/fine_overflow/sel_overflow: () bool — per-stage pool
+        or select-cap misses (each alone forces the in-graph fallback)
+    fallback: () bool — the batch took the exhaustive branch
+    """
+
+    coarse_total: jnp.ndarray
+    coarse_m: jnp.ndarray
+    coarse_overflow: jnp.ndarray
+    fine_total: jnp.ndarray
+    fine_m: jnp.ndarray
+    fine_overflow: jnp.ndarray
+    sel_overflow: jnp.ndarray
+    fallback: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=(
+    "T", "Kc", "g", "pool1", "pool2", "top_k", "Wc", "r_cap"
+))
+def match_pooled_fine_with_fallback(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    W_fine: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    g: int,
+    pool1: int,
+    pool2: int,
+    top_k: int,
+    Wc: int,
+    r_cap: int = 128,
+) -> tuple[CoarseMatches, jnp.ndarray, PooledStats]:
+    """Two-stage exact pruning over a BATCH-SHARED survivor pool (the
+    per-frame-granular twin of match_coarse_pruned_fine_with_fallback).
+
+    Stage 1: T x T cell-max bound -> frame-major pool of ALL eligible
+    positions across the batch (pool1 slots).  Stage 2: g x g subcell
+    bound at pool candidates -> compacted fine pool (pool2 slots; the
+    compaction preserves frame-major order).  Exact pass: pooled survivor
+    patches x the static (K, N) weight matrix, then per-frame select over
+    contiguous pool ranges.  One busy frame consumes more slots instead of
+    tripping a per-frame cap — the fallbacks fire only on BATCH-TOTAL pool
+    overflow (or a select-range miss), and all of them land on the
+    exhaustive GEMM in one in-graph lax.cond, so the candidate set is
+    UNCONDITIONALLY exact (cv::linemod semantics, rgbdDetector.cpp:31-34).
+
+    Returns (CoarseMatches (B, top_k), n_valid (B,), PooledStats);
+    n_valid feeds the refinement walk's live-prefix skip."""
+    B = Rb.shape[0]
+    margins = position_margins_batched(
+        Rb, W_cell, total_features, vpos_flat, threshold, T, Kc
+    )
+    pp = pool_plan_from_margins(margins, pool1)
+    t_int = int_score_threshold(threshold, total_features).astype(jnp.int32)
+    P2 = min(pool2, pool1)
+
+    def _pooled(_):
+        ubf = fine_ub_at_pool(Rb, pp.frame, pp.pos, W_fine, T, Kc, g)
+        fmargin = jnp.where(
+            vpos_flat[pp.pos] & pp.keep[:, None], ubf - t_int[None, :],
+            -(2**30),
+        )
+        fscore = jnp.max(fmargin, axis=1)  # (M1,)
+        felig = fscore >= 0
+        ohf = (pp.frame[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]) \
+            & felig[:, None]
+        fine_m = jnp.sum(ohf.astype(jnp.int32), axis=0)  # (B,)
+        idx2, keep2, total2 = _compact_eligible_flat(felig, P2)
+        frame2 = pp.frame[idx2]
+        pos2 = pp.pos[idx2]
+        starts2 = jnp.cumsum(fine_m) - fine_m
+        of2 = total2 > P2
+
+        def _fine(_):
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc)
+            return select_candidates_pooled(
+                raw, total_features, vpos_flat, frame2, pos2, keep2,
+                starts2, fine_m, threshold, top_k, Wc, r_cap,
+            )
+
+        def _coarse(_):
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc)
+            return select_candidates_pooled(
+                raw, total_features, vpos_flat, pp.frame, pp.pos, pp.keep,
+                pp.starts, pp.m_survivors, threshold, top_k, Wc, r_cap,
+            )
+
+        cands, n_valid, sel_of = jax.lax.cond(of2, _coarse, _fine, None)
+        return cands, n_valid, sel_of, total2, fine_m, of2
+
+    def _skip(_):
+        # Coarse pool overflowed: shape-matched dummies; the outer cond
+        # routes to the exhaustive pass without paying the fine stage.
+        z = jnp.zeros((B, top_k), jnp.int32)
+        cands = CoarseMatches(z, z, z, jnp.full((B, top_k), -1.0, jnp.float32),
+                              jnp.zeros((B, top_k), bool))
+        return (cands, jnp.zeros((B,), jnp.int32), jnp.asarray(True),
+                jnp.asarray(0, jnp.int32), jnp.zeros((B,), jnp.int32),
+                jnp.asarray(False))
+
+    cands, n_valid, sel_of, fine_total, fine_m, of2 = jax.lax.cond(
+        pp.overflow, _skip, _pooled, None
+    )
+    fallback = pp.overflow | sel_of
+
+    def _exhaustive(op):
+        raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
+        c = jax.vmap(
+            lambda r: select_candidates_flat(
+                r, total_features, vpos_flat, threshold, top_k, Wc
+            )
+        )(raw)
+        nv = jnp.sum(c.valid.astype(jnp.int32), axis=1)
+        return c, nv
+
+    cands, n_valid = jax.lax.cond(
+        fallback, _exhaustive, lambda op: op, (cands, n_valid)
+    )
+    stats = PooledStats(
+        coarse_total=pp.total, coarse_m=pp.m_survivors,
+        coarse_overflow=pp.overflow, fine_total=fine_total, fine_m=fine_m,
+        fine_overflow=of2, sel_overflow=sel_of, fallback=fallback,
+    )
+    return cands, n_valid, stats
 
 
 def _default_cap(cap: int | None, parent_cap: int, name: str) -> int:
@@ -1517,10 +1908,19 @@ def refine_candidates_opencv_batched(
     y_origin=0,
     use_pallas: bool = False,
     interpret: bool = False,
+    n_valid: jnp.ndarray | None = None,
 ) -> Matches:
     """cv::linemod's EXACT local-refinement walk, vectorized over (B, K)
     candidates — positions come out bit-identical to the genuine engine
     (verified against the libopencv_rgbd oracle in tests/test_oracle_parity).
+
+    `n_valid` (B,) enables the live-prefix skip: slots >= n_valid[b] (the
+    sub-threshold top-k filler, masked by `valid` downstream anyway) score
+    an exact 0 instead of walking 256 placements x Fmax features — on real
+    scenes that is ~2-4x less walk work.  The skip requires cand.valid to
+    be a per-frame PREFIX (true for every similarity-sorted select); an
+    in-graph guard widens any violating frame back to all K slots, so
+    results never depend on the caller honoring the precondition.
 
     The walk (linemod matchClass, level-0 refinement pass):
       x1 = cell_x*T1 + (T1/2 + T1%2 - 1)      # coarse candidate, level-1 px
@@ -1564,6 +1964,21 @@ def refine_candidates_opencv_batched(
     live = feats0.live[t]
     cnt = feats0.count[t]
 
+    if n_valid is None:
+        nv = jnp.full((B,), K, jnp.int32)
+    else:
+        # Live-prefix guard: frames whose valid mask is NOT the sorted
+        # prefix [0, n_valid) walk all K slots (elementwise compare — free).
+        pref = jnp.all(
+            cand.valid == (jnp.arange(K, dtype=jnp.int32)[None, :]
+                           < n_valid[:, None]),
+            axis=1,
+        )
+        nv = jnp.where(pref, n_valid.astype(jnp.int32), K)
+    slot_live = (
+        jnp.arange(K, dtype=jnp.int32)[None, :] < nv[:, None]
+    ).reshape(-1)  # (B*K,)
+
     def _xla_scores(_):
         pad = ((E0 + WIN * T) // T + 1) * T
         pad_h = pad + (-(H + pad)) % T  # reshape needs Hp, Wp % T == 0
@@ -1588,7 +2003,9 @@ def refine_candidates_opencv_batched(
 
         acc0 = jnp.zeros((B * K, WIN, WIN), jnp.int32)
         scores, _ = jax.lax.scan(body, acc0, jnp.arange(Fmax, dtype=jnp.int32))
-        return scores.reshape(B * K, -1)
+        # Skipped slots zero out to match the Pallas kernel's prefix skip
+        # bit-for-bit (the two paths sit in one lax.cond).
+        return jnp.where(slot_live[:, None], scores.reshape(B * K, -1), 0)
 
     if use_pallas:
         # Dead feature slots: zero offsets + out-of-range ori would read
@@ -1608,7 +2025,7 @@ def refine_candidates_opencv_batched(
             scores = walk_scores_pallas(
                 R0, oris.reshape(B, K, Fmax), fy, fx,
                 cnt.reshape(B, K), gy0.reshape(B, K), gx0.reshape(B, K),
-                E0=E0, T=T, interpret=interpret,
+                E0=E0, T=T, interpret=interpret, n_valid=nv,
             )
             return scores.reshape(B * K, -1)
 

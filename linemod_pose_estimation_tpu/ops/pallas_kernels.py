@@ -350,36 +350,51 @@ def _walk_kernel(Fmax: int, C: int, T: int, PR: int, PC: int, WR: int, Wp: int):
             dma.start()
             dma.wait()
 
-        nf = meta_ref[0, k]
-        gy0 = meta_ref[1, k]
-        ax = meta_ref[2, k]  # placement-0 pixel column (gx0 * T)
+        # Live-prefix skip: candidates are similarity-sorted, so the valid
+        # ones occupy slots [0, n_valid) — slots past the prefix (top-k
+        # filler below the selection threshold, masked downstream anyway)
+        # write zeros and skip the whole feature loop.  Real scenes carry
+        # ~30-60 valid candidates of the 128 static slots, so this is the
+        # walk's single biggest cost lever (the grid still steps through
+        # dead slots, but a predicated-off body costs ~nothing).
+        @pl.when(k < meta_ref[4, 0])
+        def _():
+            nf = meta_ref[0, k]
+            gy0 = meta_ref[1, k]
+            ax = meta_ref[2, k]  # placement-0 pixel column (gx0 * T)
 
-        acc = jnp.zeros((WIN, PC), jnp.int32)
-        for f in range(Fmax):
-            o = oris_ref[k, f]
-            qy = gy0 + qys_ref[k, f]  # grid row of the feature at placement 0
-            ry = rys_ref[k, f]  # row phase (dy % T)
-            s = ax + dxs_ref[k, f]  # feature pixel column at placement 0
-            ax128 = pl.multiple_of(
-                jnp.minimum((s // 128) * 128, Wp - PC), 128
-            )
-            qy32 = pl.multiple_of(
-                jnp.minimum((qy // 32) * 32, PR - WR), 32
-            )
-            slab = frame[ry, o, pl.ds(qy32, WR), pl.ds(ax128, PC)].astype(
-                jnp.int32
-            )
-            rows = pltpu.roll(slab, -(qy - qy32), 0)[:WIN, :]
-            rolled = pltpu.roll(rows, -(s - ax128), 1)
-            acc = acc + jnp.where(f < nf, rolled, 0)
-        # Placement columns live at lanes {0, T, 2T, ...}: extract the 16
-        # strided lanes with one tiny MXU dot against the 0/1 selector
-        # (values <= 4 * Fmax stay exact in f32).
-        out_ref[0, :, :] = jax.lax.dot_general(
-            acc.astype(jnp.float32), sel_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+            acc = jnp.zeros((WIN, PC), jnp.int32)
+            for f in range(Fmax):
+                o = oris_ref[k, f]
+                qy = gy0 + qys_ref[k, f]  # feature grid row at placement 0
+                ry = rys_ref[k, f]  # row phase (dy % T)
+                s = ax + dxs_ref[k, f]  # feature pixel column at placement 0
+                ax128 = pl.multiple_of(
+                    jnp.minimum((s // 128) * 128, Wp - PC), 128
+                )
+                qy32 = pl.multiple_of(
+                    jnp.minimum((qy // 32) * 32, PR - WR), 32
+                )
+                slab = frame[ry, o, pl.ds(qy32, WR), pl.ds(ax128, PC)].astype(
+                    jnp.int32
+                )
+                rows = pltpu.roll(slab, -(qy - qy32), 0)[:WIN, :]
+                rolled = pltpu.roll(rows, -(s - ax128), 1)
+                acc = acc + jnp.where(f < nf, rolled, 0)
+            # Placement columns live at lanes {0, T, 2T, ...}: extract the
+            # 16 strided lanes with one tiny MXU dot against the 0/1
+            # selector (values <= 4 * Fmax stay exact in f32).
+            out_ref[0, :, :] = jax.lax.dot_general(
+                acc.astype(jnp.float32), sel_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        @pl.when(k >= meta_ref[4, 0])
+        def _():
+            # Deterministic zeros for skipped slots (the XLA twin masks to
+            # the same value, keeping the in-graph cond branches bit-equal).
+            out_ref[0, :, :] = jnp.zeros((WIN, WIN), jnp.int32)
 
     return kernel
 
@@ -396,6 +411,7 @@ def walk_scores_pallas(
     E0: int,
     T: int = 5,
     interpret: bool = False,
+    n_valid: jnp.ndarray | None = None,  # (B,) live-prefix per frame
 ) -> jnp.ndarray:
     """Raw cv::linemod walk scores (B, K, 16, 16) int32: placement (r, c)
     scores the template at pixel ((gy0+r)*T, (gx0+c)*T).
@@ -405,7 +421,13 @@ def walk_scores_pallas(
     slice; columns stay dense (a lane roll aligns placement c to lane c*T)
     and the 16 strided lanes are extracted by a 0/1 selector dot.  The
     frame is DMA'd to VMEM ONCE per pallas_call (one call per batch frame)
-    — no per-candidate DMA at all."""
+    — no per-candidate DMA at all.
+
+    `n_valid` (default: all K slots) skips candidate slots >= n_valid[b]
+    per frame — their scores come out EXACTLY zero.  Callers must pass the
+    length of the frame's valid PREFIX (similarity-sorted selects put all
+    valid candidates first); see refine_candidates_opencv_batched, which
+    guards the precondition in-graph."""
     B, C, H, W = R0.shape
     K, Fmax = cand_oris.shape[1:]
     WIN = 16
@@ -437,13 +459,16 @@ def walk_scores_pallas(
 
     qys = cand_dys // T
     rys = cand_dys % T
+    if n_valid is None:
+        n_valid = jnp.full((B,), K, jnp.int32)
     meta = jnp.stack(
         [cand_nf.reshape(B, K),
          gy0.reshape(B, K),
          ax,
-         jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, K))],
+         jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, K)),
+         jnp.broadcast_to(n_valid.astype(jnp.int32)[:, None], (B, K))],
         axis=1,
-    ).astype(jnp.int32)  # (B, 4, K)
+    ).astype(jnp.int32)  # (B, 5, K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
