@@ -395,6 +395,60 @@ class MultiClassBatchedMatcher:
         return out
 
 
+class PipelinedRunner:
+    """Keep up to `depth` dispatched steps in flight on the device.
+
+    JAX dispatch is asynchronous: submit() enqueues a step's outputs
+    WITHOUT blocking, collect() blocks on the OLDEST in-flight step only.
+    With depth=2 the host round-trip of a blocking collect (p50 ~25 ms
+    through this environment's remote-TPU tunnel) hides behind the next
+    frame's device compute, taking the blocking per-frame period from
+    device+RTT down to max(device, RTT).  The reference's serving loop is
+    fully synchronous per frame (grab -> detect -> respond,
+    /root/reference/src/linemod_ensenso_detect_3_mult_detect_service.cpp:
+    274-599), so its latency is the capability floor, not the design bar.
+
+    Results come out in submission order; submitting past `depth` blocks
+    on (and returns) the oldest result to bound in-flight device memory.
+    """
+
+    def __init__(self, fn, depth: int = 2):
+        from collections import deque
+
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1 (got {depth})")
+        self.fn = fn
+        self.depth = depth
+        self._q = deque()
+
+    def __len__(self) -> int:
+        return len(self._q)
+
+    def submit(self, *args, **kwargs):
+        """Dispatch one step; returns the oldest COMPLETED result when the
+        pipeline was full, else None."""
+        out = None
+        if len(self._q) >= self.depth:
+            out = self.collect()
+        self._q.append(self.fn(*args, **kwargs))
+        return out
+
+    def collect(self):
+        """Block on and return the oldest in-flight result."""
+        if not self._q:
+            raise RuntimeError("collect() with nothing in flight")
+        out = self._q.popleft()
+        jax.block_until_ready(out)
+        return out
+
+    def drain(self) -> list:
+        """Collect every remaining in-flight result, oldest first."""
+        out = []
+        while self._q:
+            out.append(self.collect())
+        return out
+
+
 def look_at_point(cloud: jnp.ndarray, rect_xywh, cap: int = 256) -> jnp.ndarray:
     """3-D gaze target at a detection's bbox center (carmine
     get_look_at_point semantics: NaN center -> walk to a valid neighbour;

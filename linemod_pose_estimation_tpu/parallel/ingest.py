@@ -53,6 +53,75 @@ class FrameBatcher:
             clouds.append(np.asarray(f.cloud))
         return np.stack(rgbs), np.stack(clouds)
 
+    def poll_batch(self, now: float | None = None):
+        """Take whatever frames the (paced) sources have ready — up to
+        `batch` — WITHOUT waiting: the streaming-load seam where camera
+        cadence, not the matcher, sets the arrival rate (the carmine node
+        processes one callback at a time and drops the backlog —
+        /root/reference/src/linemod_carmine_detect.cpp:296-306; here late
+        frames batch up instead of dropping).
+
+        Sources must expose poll(now) -> (frame, t_grab) | None (see
+        PacedSource).  Returns (rgbs (B,...), clouds (B,...), stamps (B,),
+        n_filled); slots past n_filled repeat the last real frame so the
+        fixed-shape jitted step never recompiles — callers mask by
+        n_filled.  Returns None when no source had a frame ready."""
+        import time as _time
+
+        if now is None:
+            now = _time.perf_counter()
+        rgbs, clouds, stamps = [], [], []
+        for k in range(len(self.sources)):
+            if len(rgbs) >= self.batch:
+                break
+            src = self.sources[(self._i + k) % len(self.sources)]
+            got = src.poll(now)
+            while got is not None:
+                f, t_grab = got
+                rgbs.append(np.asarray(f.rgb))
+                clouds.append(np.asarray(f.cloud))
+                stamps.append(t_grab)
+                if len(rgbs) >= self.batch:
+                    break
+                got = src.poll(now)
+        self._i += 1  # rotate polling priority for fairness
+        n = len(rgbs)
+        if n == 0:
+            return None
+        while len(rgbs) < self.batch:  # pad: repeat the last real frame
+            rgbs.append(rgbs[n - 1])
+            clouds.append(clouds[n - 1])
+            stamps.append(stamps[n - 1])
+        return np.stack(rgbs), np.stack(clouds), np.asarray(stamps), n
+
+
+class PacedSource:
+    """A camera source with a fixed frame cadence (the Carmine/Ensenso
+    drivers deliver at sensor rate regardless of the consumer): poll(now)
+    returns (frame, t_grab) for each elapsed frame period, else None.  A
+    slow consumer sees a backlog (up to `max_backlog` frames, then drops
+    oldest — sensor ring-buffer semantics), which is what lets the
+    streaming bench measure latency UNDER LOAD rather than in lockstep."""
+
+    def __init__(self, fn: Callable[[], object], fps: float,
+                 start: float = 0.0, max_backlog: int = 64):
+        self.fn = fn
+        self.period = 1.0 / float(fps)
+        self._next_due = start
+        self.max_backlog = max_backlog
+        self.dropped = 0
+
+    def poll(self, now: float):
+        if now < self._next_due:
+            return None
+        behind = int((now - self._next_due) / self.period)
+        if behind >= self.max_backlog:
+            self.dropped += behind - self.max_backlog + 1
+            self._next_due += (behind - self.max_backlog + 1) * self.period
+        t_grab = self._next_due
+        self._next_due += self.period
+        return self.fn(), t_grab
+
 
 def put_global_batch(
     mesh: Mesh,
