@@ -98,6 +98,23 @@ class CascadeParams:
     # rotation (bank angle_step quantization) and the actual object pose.
     refine_rounds: int = 0
     refine_icp_iter: int = 30
+    # In-plane rotation sweep for RANK-DEFICIENT hypotheses (point_to_plane
+    # only): when a single plane dominates the visible scene surface, the
+    # point-to-plane normal equations are blind to rotation about that
+    # plane's normal — a face-on view whose best template sits one
+    # view-sphere neighbour over keeps its ~3 deg in-plane offset through
+    # ICP untouched (the ACCURACY.json deg_err max tail).  The sweep
+    # rotates the model about the dominant scene normal (through the model
+    # centroid — plane distances are invariant, so ICP's converged depth
+    # alignment is preserved) and scores model->scene nearest-neighbour
+    # distance, where the object OUTLINE carries the in-plane signal; a
+    # coarse pass over +-inplane_sweep_deg then a fine pass around the
+    # winner.  Applied only when the normals are degenerate
+    # (dominant-alignment fraction > inplane_dominance) AND the sweep
+    # strictly improves on 0 deg.  inplane_sweep_steps=0 disables.
+    inplane_sweep_deg: float = 6.0
+    inplane_sweep_steps: int = 13  # odd: 0 deg sits on the coarse grid
+    inplane_dominance: float = 0.95
     # Dilate the transplanted scene mask before extracting scene points.
     # The rendered mask lands at the MATCH position, which carries the
     # T0-1 px plateau of the coarse level; undilated, a 1-px offset clips
@@ -601,6 +618,76 @@ def rough_pose_and_refine(
     return jax.tree_util.tree_map(lambda a: a[b], poses_k)
 
 
+def inplane_sweep_fix(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_n: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    active: jnp.ndarray,
+    sweep_deg: float,
+    steps: int,
+    dominance: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rank-deficiency repair for point-to-plane ICP (the face-on tail).
+
+    When one plane dominates the visible scene surface, the point-to-plane
+    normal equations are blind to rotation about its normal, so an initial
+    in-plane offset (a view-sphere-neighbour template, ~3 deg) survives
+    ICP untouched.  Sweep rotations about the DOMINANT scene normal
+    through the model centroid — plane distances are invariant, so ICP's
+    converged depth alignment is preserved — scored by model->scene
+    nearest-neighbour distance (the object OUTLINE carries the in-plane
+    signal point-to-plane cannot see): a coarse pass over +-sweep_deg,
+    then a fine pass around the winner.  The fix applies only when the
+    normals are degenerate (mean |n . n_dom| > dominance) AND the best
+    angle strictly improves on 0 deg.
+
+    Returns (T_fix (4, 4), applied ()): T_fix is the identity when not
+    applied."""
+    nbar = pcu.masked_centroid(scene_n, scene_valid)
+    n_dom = nbar / jnp.maximum(jnp.linalg.norm(nbar), 1e-9)
+    align = jnp.abs(scene_n @ n_dom)
+    dom_frac = jnp.sum(jnp.where(scene_valid, align, 0.0)) / jnp.maximum(
+        jnp.sum(scene_valid), 1
+    )
+    deficient = dom_frac > dominance
+    c0 = pcu.masked_centroid(model_pts, model_valid)
+
+    Kx = jnp.array([
+        [0.0, -n_dom[2], n_dom[1]],
+        [n_dom[2], 0.0, -n_dom[0]],
+        [-n_dom[1], n_dom[0], 0.0],
+    ])
+
+    def _rot(th):
+        return jnp.eye(3) + jnp.sin(th) * Kx + (1 - jnp.cos(th)) * (Kx @ Kx)
+
+    def _score(th):
+        mp = (model_pts - c0[None, :]) @ _rot(th).T + c0[None, :]
+        d2 = pcu.pairwise_sq_dists(mp, scene_pts)
+        d2 = jnp.where(scene_valid[None, :], d2, jnp.inf)
+        dmin = jnp.min(d2, axis=1)
+        return jnp.sum(jnp.where(model_valid, dmin, 0.0)) / jnp.maximum(
+            jnp.sum(model_valid), 1
+        )
+
+    half = sweep_deg * jnp.pi / 180.0
+    a1 = jnp.linspace(-half, half, steps)
+    sc1 = jax.vmap(_score)(a1)
+    best1 = a1[jnp.argmin(sc1)]
+    step1 = 2.0 * half / max(steps - 1, 1)
+    a2 = best1 + jnp.linspace(-step1, step1, 11)
+    sc2 = jax.vmap(_score)(a2)
+    best = a2[jnp.argmin(sc2)]
+    s_best = jnp.min(sc2)
+    s_zero = _score(jnp.float32(0.0))
+    applied = active & deficient & (s_best < s_zero * 0.98)
+    Rb = _rot(jnp.where(applied, best, 0.0))
+    T_fix = geo.make_transform(Rb, c0 - Rb @ c0)
+    return T_fix, applied
+
+
 def _pose_one_hypothesis(
     q_avg, T_aver, D_aver, Trans_aver, X, Y, hyp_sim,
     *, hyp_on, cluster_valid, cluster_score, cloud, triangles, K_render,
@@ -785,6 +872,15 @@ def _pose_one_hypothesis(
     pose = icp_res.transform @ pose0
     model_final = model_pts_t @ icp_res.transform[:3, :3].T + icp_res.transform[:3, 3]
     hv_model_valid = model_valid
+
+    if p2plane and params.inplane_sweep_steps > 0:
+        T_fix, _applied = inplane_sweep_fix(
+            model_final, model_valid, scene_pts, scene_n, scene_valid,
+            active, params.inplane_sweep_deg, params.inplane_sweep_steps,
+            params.inplane_dominance,
+        )
+        pose = T_fix @ pose
+        model_final = model_final @ T_fix[:3, :3].T + T_fix[:3, 3]
 
     # Template-refinement rounds (carmine templateRefinement, carmine:
     # 555-652).  Render the object ON the optical axis at distance |t| with

@@ -425,3 +425,64 @@ def test_full_cascade_point_to_plane_and_hypotheses(pipeline):
     ang = float(geo.rotation_geodesic_deg(jnp.asarray(R_gt), jnp.asarray(d.pose[:3, :3])))
     assert ang < 5.0
     assert np.linalg.norm(d.pose[:3, 3] - t_gt) < 0.015
+
+
+def test_inplane_sweep_recovers_face_on_rotation():
+    """A single visible plane + a ~3 deg in-plane rotation offset — the
+    configuration point-to-plane ICP is blind to (the ACCURACY deg_err max
+    tail) — must be repaired by the rank-deficient in-plane sweep."""
+    # Scene: a 10 x 6 cm face-on rectangle at z = 0.5, normals all +z.
+    xs, ys = np.meshgrid(np.linspace(-0.05, 0.05, 24),
+                         np.linspace(-0.03, 0.03, 16))
+    scene = np.stack([xs.ravel(), ys.ravel(),
+                      np.full(xs.size, 0.5)], axis=1).astype(np.float32)
+    pad = 512 - scene.shape[0]
+    scene_pts = np.concatenate([scene, np.zeros((pad, 3), np.float32)])
+    scene_valid = np.arange(512) < scene.shape[0]
+    scene_n = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (512, 1))
+
+    # Model: the same rectangle rotated +3 deg about z through its centroid.
+    th = np.deg2rad(3.0)
+    Rz = np.array([[np.cos(th), -np.sin(th), 0.0],
+                   [np.sin(th), np.cos(th), 0.0],
+                   [0.0, 0.0, 1.0]], np.float32)
+    c = scene.mean(axis=0)
+    model = (scene - c) @ Rz.T + c
+    model_pts = np.concatenate([model, np.zeros((pad, 3), np.float32)])
+    model_valid = scene_valid.copy()
+
+    T_fix, applied = CC.inplane_sweep_fix(
+        jnp.asarray(model_pts), jnp.asarray(model_valid),
+        jnp.asarray(scene_pts), jnp.asarray(scene_n),
+        jnp.asarray(scene_valid), jnp.asarray(True),
+        sweep_deg=6.0, steps=13, dominance=0.95,
+    )
+    assert bool(applied)
+    ang = float(geo.rotation_geodesic_deg(
+        jnp.asarray(Rz.T), T_fix[:3, :3]))
+    assert ang < 0.5, f"sweep left {ang} deg of the 3 deg offset"
+    fixed = np.asarray(model_pts @ np.asarray(T_fix[:3, :3]).T
+                       + np.asarray(T_fix[:3, 3]))
+    err = np.abs(fixed[scene_valid] - scene).max()
+    assert err < 1.5e-3
+
+    # Already aligned -> the improvement gate keeps the identity.
+    T_id, applied0 = CC.inplane_sweep_fix(
+        jnp.asarray(scene_pts), jnp.asarray(model_valid),
+        jnp.asarray(scene_pts), jnp.asarray(scene_n),
+        jnp.asarray(scene_valid), jnp.asarray(True),
+        sweep_deg=6.0, steps=13, dominance=0.95,
+    )
+    assert not bool(applied0)
+    np.testing.assert_allclose(np.asarray(T_id), np.eye(4), atol=1e-5)
+
+    # Two visible planes -> not rank-deficient -> no fix even if offset.
+    scene_n2 = scene_n.copy()
+    scene_n2[:192] = [1.0, 0.0, 0.0]
+    _, applied2 = CC.inplane_sweep_fix(
+        jnp.asarray(model_pts), jnp.asarray(model_valid),
+        jnp.asarray(scene_pts), jnp.asarray(scene_n2),
+        jnp.asarray(scene_valid), jnp.asarray(True),
+        sweep_deg=6.0, steps=13, dominance=0.95,
+    )
+    assert not bool(applied2)

@@ -47,6 +47,7 @@ from linemod_pose_estimation_tpu.models.detector import Detector  # noqa: E402
 from linemod_pose_estimation_tpu.models.templates import TemplateBank  # noqa: E402
 from linemod_pose_estimation_tpu.ops import match as M  # noqa: E402
 from linemod_pose_estimation_tpu.parallel.sharded_match import (  # noqa: E402
+    make_ring_bank, make_ring_detect_step, make_row_sharded_matcher,
     make_sharded_bank, make_sharded_detect_step,
 )
 
@@ -179,6 +180,119 @@ def main():
             "shape": list(np.asarray(matches.similarity).shape),
         },
     }
+    print("[shard] static bank-TP section done", file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    # RING rotation (make_ring_detect_step): frames stay data-parallel,
+    # the bank shard ppermutes around the ring each step — weight bytes
+    # in flight replace the static TP layout's frame replication.
+    # ------------------------------------------------------------------
+    n_ring = 4
+    ring_devices = np.array(jax.devices()[:n_ring])
+    ring_mesh = Mesh(ring_devices, ("ring",))
+    rb = make_ring_bank(ring_mesh, "ring", feats1, feats0, C=C, T1=T1, Kc1=Kc1)
+    ring_step = make_ring_detect_step(
+        ring_mesh, "ring", T1, Kc1, top_k, thr, T0=T0, E0=E0,
+        use_depth=use_depth, weak_threshold=p.color.weak_threshold,
+        use_pallas_refine=False,
+    )
+    frames_r, depths_r, _ = BM._real_scenes(r, meta, n_ring, H, W, rng)
+    lowered = ring_step.lower(jnp.asarray(frames_r), jnp.asarray(depths_r), rb)
+    hlo = lowered.compile().as_text()
+    n_cp = hlo.count(" collective-permute(")
+    n_cp_async = hlo.count("collective-permute-start(")
+    ring_m = ring_step(jnp.asarray(frames_r), jnp.asarray(depths_r), rb)
+    jax.block_until_ready(ring_m)
+    n_local_r = rb.feats1.oris.shape[0] // n_ring
+    w_shard_bytes = K_dim * n_local_r  # int8 (K, N/n) W1 shard
+    feats_bytes = (sum(np.asarray(a).nbytes for a in rb.feats1)
+                   + sum(np.asarray(a).nbytes for a in rb.feats0)) // n_ring
+    report["ring_rotation"] = {
+        "mesh": {"ring": n_ring},
+        "templates_per_shard": int(n_local_r),
+        "rotation_steps": n_ring,
+        "weights_in_flight_bytes_per_hop": int(w_shard_bytes + feats_bytes),
+        "w1_shard_bytes": int(w_shard_bytes),
+        "feats_shard_bytes": int(feats_bytes),
+        "total_wire_bytes_per_batch": int(
+            (w_shard_bytes + feats_bytes) * (n_ring - 1)),
+        "frames_replicated_bytes": 0,
+        "static_tp_equivalent_frame_broadcast_bytes": int(
+            frames_r.nbytes + depths_r.nbytes) * (n_ring - 1),
+        "overlap": {
+            "collective_permutes_in_hlo": int(n_cp + n_cp_async),
+            "async_start_done_pairs": int(n_cp_async),
+            "note": "the ppermute of shard t+1 is issued BEFORE step t's "
+                    "GEMM (sharded_match.py make_ring_detect_step), so "
+                    "XLA's async collective-permute streams the next "
+                    "shard over ICI while the current GEMM runs; on the "
+                    "CPU virtual mesh the lowering may fuse to sync "
+                    "collective-permute ops — the async pair count above "
+                    "records what this backend emitted",
+        },
+        "step_output": {
+            "valid_matches": int(np.asarray(ring_m.valid).sum()),
+            "best_similarity": float(
+                np.asarray(jnp.where(ring_m.valid, ring_m.similarity,
+                                     -1.0)).max()),
+            "shape": list(np.asarray(ring_m.similarity).shape),
+        },
+    }
+    print("[shard] ring section done", file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    # Row-SP (make_row_sharded_matcher): the frame's rows shard over the
+    # mesh (context-parallel analog); each device pulls its halo rows
+    # from its neighbours with ppermute before scoring its stripe.
+    # ------------------------------------------------------------------
+    n_rows = 6  # 480 rows / 6 = 80-row level-0 stripes = lcm(2*T1, T0)
+    row_mesh = Mesh(np.array(jax.devices()[:n_rows]), ("rows",))
+    row_fn = make_row_sharded_matcher(
+        row_mesh, "rows", T1, Kc1, top_k, thr, T0=T0, E0=E0,
+    )
+    pyr = M.preprocess_frames_batched(
+        jnp.asarray(frames_r[:1]), jnp.asarray(depths_r[:1]),
+        T0=T0, T1=T1, use_depth=use_depth,
+        weak_threshold=p.color.weak_threshold)
+    R0_1, R1_1 = pyr[0][0], pyr[1][0]
+    W1_kn = jnp.asarray(sb.W1_rows).T  # replicated (K, N) weights
+    row_m = row_fn(R1_1, R0_1, W1_kn, feats1, feats0)
+    jax.block_until_ready(row_m)
+    H1, W1c = int(R1_1.shape[1]), int(R1_1.shape[2])
+    H0 = int(R0_1.shape[1])
+    halo1 = T1 * Kc1
+    UP = -(-(8 * T0 + E0) // T0) * T0
+    halo0 = -(-(16 * T0 + E0) // T0) * T0
+    report["row_sp"] = {
+        "mesh": {"rows": n_rows},
+        "frame": [H, W],
+        "stripe_shapes": {
+            "level1_per_shard": [C, H1 // n_rows, W1c],
+            "level0_per_shard": [C, H0 // n_rows, int(R0_1.shape[2])],
+            "anchor_cells_per_shard": [H1 // n_rows // T1, W1c // T1],
+        },
+        "halo_rows": {"level1_down": halo1, "level0_up": UP,
+                      "level0_down": halo0},
+        "halo_bytes_per_device": int(
+            C * halo1 * W1c + C * (UP + halo0) * R0_1.shape[2]),
+        "stripe_bytes_per_device": int(
+            C * (H1 // n_rows) * W1c + C * (H0 // n_rows) * R0_1.shape[2]),
+        "per_shard_coarse_gemm": {
+            "patches": [(H1 // n_rows // T1) * (W1c // T1), K_dim],
+            "weights": [K_dim, int(N_pad)],
+            "note": "full replicated bank per shard; positions shard 1/n "
+                    "— the right axis when the frame, not the bank, is "
+                    "the big operand",
+        },
+        "step_output": {
+            "valid_matches": int(np.asarray(row_m.valid).sum()),
+            "best_similarity": float(
+                np.asarray(jnp.where(row_m.valid, row_m.similarity,
+                                     -1.0)).max()),
+        },
+    }
+    print("[shard] row-SP section done", file=sys.stderr)
+
     out = os.path.join(REPO, "SHARDING.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
