@@ -247,13 +247,34 @@ def _bench_real_bank(B, iters, extra):
                                                       top_k, Wc),
         in_axes=(0, None, None)))
     walk_pallas = jax.default_backend() != "cpu"
+    # Every path passes the per-frame valid-prefix count into the walk:
+    # similarity-sorted selects put valid candidates first, so the Pallas
+    # kernel skips the sub-threshold top-k filler (real scenes fill ~30-60
+    # of the 128 slots); the in-graph prefix guard makes this exact.
     refine_b = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
-        R0, f0, cand, T1, thr, E0=E0, fine_T=T0, use_pallas=walk_pallas))
+        R0, f0, cand, T1, thr, E0=E0, fine_T=T0, use_pallas=walk_pallas,
+        n_valid=jnp.sum(cand.valid.astype(jnp.int32), axis=1)))
+    refine_nv = jax.jit(lambda R0, cand, f0, nv: M.refine_candidates_opencv_batched(
+        R0, f0, cand, T1, thr, E0=E0, fine_T=T0, use_pallas=walk_pallas,
+        n_valid=nv))
+    # POOLED path (batch-shared survivor pool, per-frame fallback
+    # granularity): the headline contender vs the per-frame-cap path.
+    pool1 = int(os.environ.get("LPE_BENCH_POOL1", str(56 * B)))
+    pool2 = int(os.environ.get("LPE_BENCH_POOL2", str(36 * B)))
+    orch_pool = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
+                        M.match_pooled_fine_with_fallback(
+                            Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1, Kc1,
+                            fine_g, pool1, pool2, top_k, Wc))
 
     def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
         R0, R1 = pre_b(rgbs, depths)
         cand, _pp, _fp = orch_b(R1, Wg, Wc, Wf, feats1.count, vpos)
         return refine_b(R0, cand, feats0)
+
+    def match_pooled(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
+        R0, R1 = pre_b(rgbs, depths)
+        cand, nv, _st = orch_pool(R1, Wg, Wc, Wf, feats1.count, vpos)
+        return refine_nv(R0, cand, feats0, nv)
 
     def match_ex(rgbs, depths):
         R0, R1 = pre_b(rgbs, depths)
@@ -261,27 +282,47 @@ def _bench_real_bank(B, iters, extra):
         cand = sel_ex(raw, feats1.count, vpos)
         return refine_b(R0, cand, feats0)
 
+    dt_pool = _time(match_pooled, iters, rgbs, depths,
+                    label=f"real_pooled_batch{B}")
     dt = _time(match_pruned, iters, rgbs, depths, label=f"real_pruned_batch{B}")
-    fps = B / dt
+    extra["real_pooled_batch_fps"] = round(B / dt_pool, 2)
+    extra["real_percap_batch_fps"] = round(B / dt, 2)
+    # Headline = the faster of the two exact pruned paths (both equality-
+    # gated below); the pooled path is expected to win once its pools are
+    # tuned, but the measurement decides.
+    if dt_pool <= dt:
+        match_headline, extra["real_headline_path"] = match_pooled, "pooled"
+    else:
+        match_headline, extra["real_headline_path"] = match_pruned, "per_frame_caps"
+    fps = B / min(dt, dt_pool)
     dt_ex = _time(match_ex, max(iters // 2, 5), rgbs, depths,
                   label=f"real_exhaustive_batch{B}")
-    m_pr = match_pruned(rgbs, depths)
+    m_pr = match_headline(rgbs, depths)
     m_ex = match_ex(rgbs, depths)
+    m_pl = match_pooled(rgbs, depths)
     ok_p, tot = _found_rate(m_pr, truths)
     ok_e, _ = _found_rate(m_ex, truths)
+    ok_pl, _ = _found_rate(m_pl, truths)
     _, pp, fp = orch_b(pre_b(rgbs, depths)[1], W_gemm, W_cell, W_fine,
                        feats1.count, vpos)
+    _, _, pst = orch_pool(pre_b(rgbs, depths)[1], W_gemm, W_cell, W_fine,
+                          feats1.count, vpos)
     extra["real_bank_templates"] = int(N)
     extra["real_bank_modalities"] = "RGB-D" if use_depth else "RGB"
     extra["real_exhaustive_fps"] = round(B / dt_ex, 2)
     extra["real_found_pruned"] = f"{ok_p}/{tot}"
     extra["real_found_exhaustive"] = f"{ok_e}/{tot}"
+    extra["real_found_pooled"] = f"{ok_pl}/{tot}"
     extra["real_prune_pos_survivors_mean"] = round(
         float(np.asarray(pp.m_survivors).mean()), 1)
     extra["real_fine_pos_survivors_mean"] = round(
         float(np.asarray(fp.m_survivors).mean()), 1)
     extra["real_prune_overflow"] = bool(pp.overflow)
     extra["real_fine_overflow"] = bool(fp.overflow)
+    extra["real_pool_coarse_total"] = int(pst.coarse_total)
+    extra["real_pool_fine_total"] = int(pst.fine_total)
+    extra["real_pool_caps"] = [pool1, pool2]
+    extra["real_pool_fallback"] = bool(pst.fallback)
     # Single-frame latency through the pruned production path.
     dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
@@ -313,7 +354,8 @@ def _bench_real_bank(B, iters, extra):
                              fine_g, m_cap, m2_cap, top_k, Wc,
                              use_pallas=pallas_gather))
         refine_r = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
-            R0, f0, cand, T1, thr, E0=E0r, fine_T=T0, use_pallas=walk_pallas))
+            R0, f0, cand, T1, thr, E0=E0r, fine_T=T0, use_pallas=walk_pallas,
+            n_valid=jnp.sum(cand.valid.astype(jnp.int32), axis=1)))
 
         def match_rgb_real(rgbs, depths):
             R0, R1 = pre_rgb(rgbs, depths)
@@ -331,62 +373,77 @@ def _bench_real_bank(B, iters, extra):
     except Exception as e:  # pragma: no cover
         extra["real_rgb_error"] = str(e)[:200]
 
-    # The merged two-class pass doubles the template axis (2N) and its
-    # raw-score tensor; at headline batches > 16 that tips v5e-1 HBM over
-    # (RESOURCE_EXHAUSTED) with the single-class buffers still resident.
-    # Cap these auxiliary sections at 16 frames — their fps is per-frame
-    # and the comparison vs the split baseline is batch-size-matched.
-    B2 = min(B, 16)
-    rgbs2, depths2 = rgbs[:B2], depths[:B2]
-
     # Two-object config on the MERGED multi-class path (BASELINE thresholds
     # 92/94): cv::linemod scores every class in one Detector::match call
     # (rgbdDetector.cpp:31-34) while the reference's two-object service
     # alternates two single-class detectors; here both classes (each the
-    # full tiled real bank) share ONE preprocess -> ONE prune (at
-    # min(thresholds)) -> ONE survivor GEMM over the concatenated template
-    # axis -> ONE refinement dispatch.  two_object_split_fps is the
-    # alternator baseline: two sequential single-class pruned dispatches.
-    try:
-        thr_a, thr_b = 92.0, 94.0
-        f1m, bases = M.concat_level_features([feats1, feats1])
-        f0m, _ = M.concat_level_features([feats0, feats0])
-        W_gemm_m = M.build_gemm_weights(f1m, C, T1, Kc1)
-        W_cell_m = M.build_cell_weights(f1m, C, T1, Kc1)
-        W_fine_m = M.build_cell_weights_fine(f1m, C, T1, Kc1, fine_g)
-        jax.block_until_ready((W_gemm_m, W_cell_m, W_fine_m))
-        slices = ((0, N), (N, 2 * N))
-        vpos_m = M.position_validity_flat(f1m.size, T1, Hc, Wc)
-        # Weights/features as ARGUMENTS: closing over them embeds ~3 GB of
-        # HLO constants (see the module docstring's remote-compile note).
-        match_mc = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp: M.match_coarse_pruned_multiclass(
-            Rb, Wg, Wc_, Wf, cnt, vp, slices,
-            (thr_a - 5.0, thr_b - 5.0), T1, Kc1, m_cap, top_k, Wc,
-            g=fine_g, m2_cap=m2_cap, use_pallas=pallas_gather))
-        refine_mc = jax.jit(lambda R0, cand, f0: M.refine_candidates_opencv_batched(
-            R0, f0, cand, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
-            use_pallas=walk_pallas))
+    # full tiled real bank) share ONE preprocess -> ONE pooled prune (at
+    # min(thresholds)) -> ONE pooled survivor GEMM over the concatenated
+    # template axis -> ONE walk over the MERGED per-frame valid prefix
+    # (merge_candidates_sorted: walk cost follows the total valid count
+    # across classes, not classes x top_k slots).  two_object_split_fps is
+    # the alternator baseline: two sequential single-class dispatches of
+    # the headline path.  The pooled path's (M, 2N) score tensor replaces
+    # the round-4 (B, m2, 2N) one, which tipped v5e HBM past batch 16 —
+    # batch B is tried first, halving on RESOURCE_EXHAUSTED.
+    thr_a, thr_b = 92.0, 94.0
+    f1m, bases = M.concat_level_features([feats1, feats1])
+    f0m, _ = M.concat_level_features([feats0, feats0])
+    W_gemm_m = M.build_gemm_weights(f1m, C, T1, Kc1)
+    W_cell_m = M.build_cell_weights(f1m, C, T1, Kc1)
+    W_fine_m = M.build_cell_weights_fine(f1m, C, T1, Kc1, fine_g)
+    jax.block_until_ready((W_gemm_m, W_cell_m, W_fine_m))
+    slices = ((0, N), (N, 2 * N))
+    vpos_m = M.position_validity_flat(f1m.size, T1, Hc, Wc)
+    merge_j = jax.jit(M.merge_candidates_sorted)
+
+    def _two_object_try(B2):
+        rgbs2, depths2 = rgbs[:B2], depths[:B2]
+        # Weights/features as ARGUMENTS: closing over them embeds ~3 GB
+        # of HLO constants (see the module docstring's remote-compile
+        # note).  Pools sized like the single-class path (the margin pass
+        # is at min(thresholds), so survivors match the loosest class).
+        match_mc = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
+                           M.match_pooled_multiclass(
+                               Rb, Wg, Wc_, Wf, cnt, vp, slices,
+                               (thr_a - 5.0, thr_b - 5.0), T1, Kc1, fine_g,
+                               56 * B2, 36 * B2, top_k, Wc))
+        refine_mc = jax.jit(lambda R0, cand, f0, nv:
+                            M.refine_candidates_opencv_batched(
+                                R0, f0, cand, T1, min(thr_a, thr_b), E0=E0,
+                                fine_T=T0, use_pallas=walk_pallas,
+                                n_valid=nv))
 
         def two_object_merged(rgbs, depths):
             R0, R1 = pre_b(rgbs, depths)
-            cands, _ = match_mc(R1, W_gemm_m, W_cell_m, W_fine_m, f1m.count,
-                                vpos_m)
-            cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
-                                    for a in zip(*cands)))
-            return refine_mc(R0, cat, f0m)
+            cands, _nvs, _st = match_mc(R1, W_gemm_m, W_cell_m, W_fine_m,
+                                        f1m.count, vpos_m)
+            cat, nv = merge_j(cands)
+            return refine_mc(R0, cat, f0m, nv)
 
         def two_object_split(rgbs, depths):
-            return match_pruned(rgbs, depths), match_pruned(rgbs, depths)
+            return (match_headline(rgbs, depths),
+                    match_headline(rgbs, depths))
 
         dt_m = _time(two_object_merged, iters, rgbs2, depths2,
                      label=f"two_object_merged_batch{B2}")
         extra["two_object_batch_fps"] = round(B2 / dt_m, 2)
+        extra["two_object_batch"] = B2
         dt_s = _time(two_object_split, iters, rgbs2, depths2,
                      label=f"two_object_split_batch{B2}")
         extra["two_object_split_fps"] = round(B2 / dt_s, 2)
         m2 = two_object_merged(rgbs2, depths2)
         ok2, tot2 = _found_rate(m2, truths[:B2])
         extra["two_object_found"] = f"{ok2}/{tot2}"
+
+    try:
+        try:
+            _two_object_try(B)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or B <= 16:
+                raise
+            _log(f"two-object at batch {B} exhausted HBM; retrying at 16")
+            _two_object_try(16)
         del W_gemm_m, W_cell_m, W_fine_m, f1m, f0m
     except Exception as e:  # pragma: no cover
         extra["two_object_error"] = str(e)[:200]
@@ -396,7 +453,7 @@ def _bench_real_bank(B, iters, extra):
     # against the real 2652-entry metadata.  On real scenes ICP early-stops
     # (the synthetic-noise e2e never converges and runs all 150 iters).
     try:
-        p50, dev, pipe = _e2e_real_ms(match_pruned, meta, glob, frames,
+        p50, dev, pipe = _e2e_real_ms(match_headline, meta, glob, frames,
                                       depths_np, reps,
                                       weights=(W_gemm, W_cell, W_fine))
         extra["real_e2e_p50_ms"] = round(p50, 2)

@@ -291,7 +291,10 @@ class MultiClassBatchedMatcher:
 
     def __init__(self, detector, class_ids: list[str], thresholds,
                  batch: int, top_k: int = 256, prune_pos_cap: int = 256,
-                 fine_g: int | None = 4, fine_pos_cap: int | None = None):
+                 fine_g: int | None = 4, fine_pos_cap: int | None = None,
+                 prune_mode: str = "positions",
+                 pool_coarse: int | None = None, pool_fine: int | None = None,
+                 sel_row_cap: int = 128):
         if isinstance(thresholds, (int, float)):
             thresholds = [float(thresholds)] * len(class_ids)
         assert len(thresholds) == len(class_ids)
@@ -304,6 +307,11 @@ class MultiClassBatchedMatcher:
         self.use_depth = p.use_depth_normal
         self.weak = p.color.weak_threshold
         self.prune_pos_cap = prune_pos_cap
+        self.prune_mode = prune_mode
+        self.pool_coarse = pool_coarse if pool_coarse is not None else 64 * batch
+        self.pool_fine = pool_fine if pool_fine is not None else 32 * batch
+        self.sel_row_cap = sel_row_cap
+        self.last_pool = None
         self.last_prune = None
 
         banks = [detector.bank(c) for c in class_ids]
@@ -343,22 +351,37 @@ class MultiClassBatchedMatcher:
 
         g, m2_cap = self.fine_g, self.fine_pos_cap
 
-        def _match_mc(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
-            vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
-            return M.match_coarse_pruned_multiclass(
-                Rb, W_gemm, W_cell, W_fine, f1.count, vpos, self.slices,
-                sel_thrs, T1, Kc1, m_cap, top_k, Wc, g=g, m2_cap=m2_cap,
-                use_pallas=pallas,
-            )
+        if self.prune_mode == "pooled":
+            if not g:
+                raise ValueError("prune_mode='pooled' requires a fine_g "
+                                 f"that divides T1={T1}")
+            p1, p2, rcap = self.pool_coarse, self.pool_fine, self.sel_row_cap
+
+            def _match_mc(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                return M.match_pooled_multiclass(
+                    Rb, W_gemm, W_cell, W_fine, f1.count, vpos, self.slices,
+                    sel_thrs, T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap,
+                )
+        else:
+            def _match_mc(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
+                vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                cands, pr = M.match_coarse_pruned_multiclass(
+                    Rb, W_gemm, W_cell, W_fine, f1.count, vpos, self.slices,
+                    sel_thrs, T1, Kc1, m_cap, top_k, Wc, g=g, m2_cap=m2_cap,
+                    use_pallas=pallas,
+                )
+                return cands, None, pr
 
         self._match_mc = jax.jit(_match_mc, static_argnames=("Hc", "Wc"))
-        # One refinement dispatch over the CONCATENATED candidates of all
-        # classes, gated at the loosest threshold; per-class thresholds
-        # re-gate the output below.
+        # One refinement dispatch over the MERGED candidates of all classes
+        # (re-sorted per frame so the valid candidates form the sorted
+        # prefix the walk skip needs), gated at the loosest threshold;
+        # per-class thresholds re-gate the output below.
         self._refine = jax.jit(
-            lambda R0, cand, f0: M.refine_candidates_opencv_batched(
+            lambda R0, cand, f0, nv: M.refine_candidates_opencv_batched(
                 R0, f0, cand, T1, thr_min, E0=E0, fine_T=T0,
-                use_pallas=pallas,
+                use_pallas=pallas, n_valid=nv,
             )
         )
 
@@ -375,22 +398,24 @@ class MultiClassBatchedMatcher:
         else:
             R0, R1 = self._pre(rgbs, jnp.zeros(rgbs.shape[:3], jnp.float32))
         Hc, Wc = R1.shape[2] // self.T1, R1.shape[3] // self.T1
-        cands, pr = self._match_mc(R1, self.W1, self.W_cell, self.W_fine,
-                                   self.feats1, Hc, Wc)
-        self.last_prune = pr
-        cat = M.CoarseMatches(*(jnp.concatenate(a, axis=1)
-                                for a in zip(*cands)))
-        m = self._refine(R0, cat, self.feats0)
+        cands, nvs, pr = self._match_mc(R1, self.W1, self.W_cell,
+                                        self.W_fine, self.feats1, Hc, Wc)
+        if self.prune_mode == "pooled":
+            self.last_pool = pr
+        else:
+            self.last_prune = pr
+        # Merge the classes' candidates and re-sort per frame: ONE walk
+        # dispatch over the valid prefix of ALL classes (the global
+        # top-candidate selection across classes — the walk's cost follows
+        # the total VALID count, not classes x top_k slots).
+        cat, nv = M.merge_candidates_sorted(cands)
+        m = self._refine(R0, cat, self.feats0, nv)
+        split = M.split_matches_by_class(m, self.slices, self.top_k)
         out = {}
-        K = self.top_k
         for i, cid in enumerate(self.class_ids):
-            lo, hi = self.slices[i]
-            sl = lambda a: a[:, i * K:(i + 1) * K]
-            out[cid] = M.Matches(
-                x=sl(m.x), y=sl(m.y),
-                template_id=sl(m.template_id) - lo,
-                similarity=sl(m.similarity),
-                valid=sl(m.valid) & (sl(m.similarity) >= self.thresholds[i]),
+            mi = split[i]
+            out[cid] = mi._replace(
+                valid=mi.valid & (mi.similarity >= self.thresholds[i])
             )
         return out
 

@@ -1450,6 +1450,176 @@ def match_pooled_fine_with_fallback(
     return cands, n_valid, stats
 
 
+@partial(jax.jit, static_argnames=(
+    "class_slices", "thresholds", "T", "Kc", "g", "pool1", "pool2",
+    "top_k", "Wc", "r_cap"
+))
+def match_pooled_multiclass(
+    Rb: jnp.ndarray,
+    W_gemm: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    W_fine: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    class_slices: tuple[tuple[int, int], ...],
+    thresholds: tuple[float, ...],
+    T: int,
+    Kc: int,
+    g: int,
+    pool1: int,
+    pool2: int,
+    top_k: int,
+    Wc: int,
+    r_cap: int = 128,
+):
+    """Pooled twin of match_coarse_pruned_multiclass over a MERGED bank:
+    ONE margin pass + ONE pooled fine re-test (both at min(thresholds), so
+    the pool is a superset for every class — still exact), ONE pooled
+    exact GEMM over the merged template axis, then per-class pooled
+    selects (each masking the other classes' columns at its own
+    threshold).  Fallbacks identical to the single-class pooled path.
+
+    Returns ([CoarseMatches (B, top_k) per class], [n_valid (B,) per
+    class], PooledStats)."""
+    B = Rb.shape[0]
+    n_cls = len(class_slices)
+    thr_min = min(thresholds)
+    if T % g != 0:
+        raise ValueError(f"g={g} must divide T={T}")
+    N = W_gemm.shape[1]
+    margins = position_margins_batched(
+        Rb, W_cell, total_features, vpos_flat, thr_min, T, Kc
+    )
+    pp = pool_plan_from_margins(margins, pool1)
+    t_int = int_score_threshold(thr_min, total_features).astype(jnp.int32)
+    P2 = min(pool2, pool1)
+    cls_cols = []
+    for (lo, hi) in class_slices:
+        cls_cols.append(jnp.zeros((N,), bool).at[lo:hi].set(True))
+
+    def _sel_all(raw, frame, pos, keep, starts, m_surv):
+        cands, nvs, sel_of = [], [], jnp.asarray(False)
+        for col, thr_c in zip(cls_cols, thresholds):
+            c, nv, so = select_candidates_pooled(
+                raw, total_features, vpos_flat & col[None, :], frame, pos,
+                keep, starts, m_surv, thr_c, top_k, Wc, r_cap,
+            )
+            cands.append(c)
+            nvs.append(nv)
+            sel_of = sel_of | so
+        return tuple(cands), tuple(nvs), sel_of
+
+    def _pooled(_):
+        ubf = fine_ub_at_pool(Rb, pp.frame, pp.pos, W_fine, T, Kc, g)
+        fmargin = jnp.where(
+            vpos_flat[pp.pos] & pp.keep[:, None], ubf - t_int[None, :],
+            -(2**30),
+        )
+        fscore = jnp.max(fmargin, axis=1)
+        felig = fscore >= 0
+        ohf = (pp.frame[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]) \
+            & felig[:, None]
+        fine_m = jnp.sum(ohf.astype(jnp.int32), axis=0)
+        idx2, keep2, total2 = _compact_eligible_flat(felig, P2)
+        frame2 = pp.frame[idx2]
+        pos2 = pp.pos[idx2]
+        starts2 = jnp.cumsum(fine_m) - fine_m
+        of2 = total2 > P2
+
+        def _fine(_):
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc)
+            return _sel_all(raw, frame2, pos2, keep2, starts2, fine_m)
+
+        def _coarse(_):
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc)
+            return _sel_all(raw, pp.frame, pp.pos, pp.keep, pp.starts,
+                            pp.m_survivors)
+
+        cands, nvs, sel_of = jax.lax.cond(of2, _coarse, _fine, None)
+        return cands, nvs, sel_of, total2, fine_m, of2
+
+    def _skip(_):
+        z = jnp.zeros((B, top_k), jnp.int32)
+        c = CoarseMatches(z, z, z, jnp.full((B, top_k), -1.0, jnp.float32),
+                          jnp.zeros((B, top_k), bool))
+        return (tuple(c for _ in range(n_cls)),
+                tuple(jnp.zeros((B,), jnp.int32) for _ in range(n_cls)),
+                jnp.asarray(True), jnp.asarray(0, jnp.int32),
+                jnp.zeros((B,), jnp.int32), jnp.asarray(False))
+
+    cands, nvs, sel_of, fine_total, fine_m, of2 = jax.lax.cond(
+        pp.overflow, _skip, _pooled, None
+    )
+    fallback = pp.overflow | sel_of
+
+    def _exhaustive(op):
+        raw = coarse_scores_gemm_flat_batched(Rb, W_gemm, T, Kc)
+        cs, ns = [], []
+        for col, thr_c in zip(cls_cols, thresholds):
+            c = jax.vmap(
+                lambda r: select_candidates_flat(
+                    r, total_features, vpos_flat & col[None, :], thr_c,
+                    top_k, Wc,
+                )
+            )(raw)
+            cs.append(c)
+            ns.append(jnp.sum(c.valid.astype(jnp.int32), axis=1))
+        return tuple(cs), tuple(ns)
+
+    cands, nvs = jax.lax.cond(
+        fallback, _exhaustive, lambda op: op, (cands, nvs)
+    )
+    stats = PooledStats(
+        coarse_total=pp.total, coarse_m=pp.m_survivors,
+        coarse_overflow=pp.overflow, fine_total=fine_total, fine_m=fine_m,
+        fine_overflow=of2, sel_overflow=sel_of, fallback=fallback,
+    )
+    return list(cands), list(nvs), stats
+
+
+def merge_candidates_sorted(
+    cands: Sequence[CoarseMatches],
+) -> tuple[CoarseMatches, jnp.ndarray]:
+    """Concatenate per-class (B, K) candidates and re-sort each frame so
+    the valid candidates form ONE similarity-sorted prefix — the walk
+    skip's precondition, which a raw concat violates (class A's
+    sub-threshold filler lands before class B's valid candidates, and the
+    prefix guard would walk every slot).  Returns (merged (B, sum K),
+    n_valid (B,)); candidates map back to classes by template-id range."""
+    cat = CoarseMatches(*(jnp.concatenate(a, axis=1) for a in zip(*cands)))
+    key = jnp.where(cat.valid, cat.similarity, -jnp.inf)
+    _, idx = jax.lax.top_k(key, key.shape[1])
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    merged = CoarseMatches(
+        take(cat.template_id), take(cat.cell_y), take(cat.cell_x),
+        take(cat.similarity), take(cat.valid),
+    )
+    return merged, jnp.sum(cat.valid.astype(jnp.int32), axis=1)
+
+
+def split_matches_by_class(
+    m: Matches,
+    class_slices: tuple[tuple[int, int], ...],
+    top_k: int,
+) -> list[Matches]:
+    """Split walked merged-bank matches back into per-class (B, top_k)
+    records: class membership is the template-id range, per-class slots
+    are the frame's top_k by similarity among that class's valid matches,
+    ids re-based to the class's own bank."""
+    out = []
+    for (lo, hi) in class_slices:
+        mine = m.valid & (m.template_id >= lo) & (m.template_id < hi)
+        key = jnp.where(mine, m.similarity, -jnp.inf)
+        vals, idx = jax.lax.top_k(key, min(top_k, key.shape[1]))
+        take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+        out.append(Matches(
+            template_id=take(m.template_id) - lo,
+            x=take(m.x), y=take(m.y), similarity=take(m.similarity),
+            valid=take(mine),
+        ))
+    return out
+
+
 def _default_cap(cap: int | None, parent_cap: int, name: str) -> int:
     """None -> half the parent cap; non-positive explicit values error
     (an explicit 0 must not silently become the default)."""

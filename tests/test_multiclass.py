@@ -166,3 +166,115 @@ def test_multiclass_serving_wrapper():
         assert g == r, f"{cid}: merged serving != per-class"
     # The planted box must be found by the merged path.
     assert any(v for v in np.asarray(got["box"].valid).ravel())
+
+
+def test_multiclass_pooled_equals_per_frame_caps():
+    """match_pooled_multiclass (batch-shared pool) == the per-frame-cap
+    merged path == per-class, as valid sets, including the merged-sorted
+    single-walk refinement."""
+    T0, T1, E1, E0 = 5, 8, 24, 48
+    Kc = (E1 - 1) // T1 + 1
+    H, W = 120, 160
+    thr_a, thr_b = 85.0, 88.0
+    top_k = 32
+    fA = _bank(24, 14, E1, 0)
+    fB = _bank(40, 14, E1, 1)
+    f0A = _bank(24, 14, E0, 2)
+    f0B = _bank(40, 14, E0, 3)
+    rgb = _scene(7, H, W)
+    pyr = M.preprocess_frame(rgb, None, T0=T0, T1=T1, use_depth=False)
+    R0, R1 = M.stack_modalities(pyr, False)
+    R0b, R1b = R0[None], R1[None]
+    Hc, Wc = (H // 2) // T1, (W // 2) // T1
+
+    f1m, bases = M.concat_level_features([fA, fB])
+    f0m, _ = M.concat_level_features([f0A, f0B])
+    Wg = M.build_gemm_weights(f1m, 8, T1, Kc)
+    Wc_ = M.build_cell_weights(f1m, 8, T1, Kc)
+    Wf = M.build_cell_weights_fine(f1m, 8, T1, Kc, 4)
+    vpos = M.position_validity_flat(f1m.size, T1, Hc, Wc)
+    slices = ((0, 24), (24, 64))
+    thrs = (thr_a - 5.0, thr_b - 5.0)
+
+    # Per-frame-cap merged reference.
+    cands_ref, _ = M.match_coarse_pruned_multiclass(
+        R1b, Wg, Wc_, Wf, f1m.count, vpos, slices, thrs, T1, Kc, 64,
+        top_k, Wc)
+    cat_r, nv_r = M.merge_candidates_sorted(cands_ref)
+    m_ref = M.refine_candidates_opencv_batched(
+        R0b, f0m, cat_r, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
+        n_valid=nv_r)
+    ref_split = M.split_matches_by_class(m_ref, slices, top_k)
+
+    # Pooled merged path.
+    cands_p, nvs_p, stats = M.match_pooled_multiclass(
+        R1b, Wg, Wc_, Wf, f1m.count, vpos, slices, thrs, T1, Kc, 4,
+        pool1=256, pool2=128, top_k=top_k, Wc=Wc, r_cap=256)
+    assert not bool(stats.fallback)
+    cat_p, nv_p = M.merge_candidates_sorted(cands_p)
+    m_p = M.refine_candidates_opencv_batched(
+        R0b, f0m, cat_p, T1, min(thr_a, thr_b), E0=E0, fine_T=T0,
+        n_valid=nv_p)
+    got_split = M.split_matches_by_class(m_p, slices, top_k)
+
+    def vset(m, thr):
+        t, x, y, s, v = (np.asarray(a) for a in m)
+        v = v & (s >= thr)
+        return {(int(t[i]), int(x[i]), int(y[i]), round(float(s[i]), 4))
+                for i in np.ndindex(v.shape) if v[i]}
+
+    for i, thr in enumerate((thr_a, thr_b)):
+        assert vset(got_split[i], thr) == vset(ref_split[i], thr)
+
+
+def test_multiclass_pooled_serving_wrapper():
+    """MultiClassBatchedMatcher(prune_mode='pooled') == default mode on a
+    trained two-class detector."""
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.renderer import Renderer
+    from linemod_pose_estimation_tpu.models.serving import MultiClassBatchedMatcher
+    from linemod_pose_estimation_tpu.models.templates import (
+        DetectorParams, TemplateBank)
+    from conftest import SHIPPED_BANK, STL_DIR
+
+    meta, glob = TemplateBank.read_params_yaml(SHIPPED_BANK)
+    W, H = 320, 240
+    det = Detector(DetectorParams())
+    r = Renderer(STL_DIR + "/boxNew.stl", W, H, glob.focal_length_x / 2,
+                 glob.focal_length_y / 2)
+    outs = []
+    for vid in (40, 700):
+        out = r.render(meta.R[vid], meta.T[vid])
+        assert det.add_template(np.asarray(out.rgb), np.asarray(out.mask),
+                                f"c{vid}") >= 0
+        outs.append(out)
+
+    rng = np.random.default_rng(4)
+    scene = rng.integers(0, 60, size=(H, W, 3), dtype=np.uint8)
+    out = outs[0]
+    x, y, w, h = (int(v) for v in np.asarray(out.rect))
+    sub = np.asarray(out.mask)[y:y + h, x:x + w] > 0
+    scene[y:y + h, x + 9:x + 9 + w][sub] = np.asarray(out.rgb)[y:y + h, x:x + w][sub]
+    rgbs = jnp.asarray(scene[None])
+
+    thr = 85.0
+    base = MultiClassBatchedMatcher(det, ["c40", "c700"], thr, batch=1,
+                                    top_k=16, prune_pos_cap=64)
+    pooled = MultiClassBatchedMatcher(det, ["c40", "c700"], thr, batch=1,
+                                      top_k=16, prune_mode="pooled",
+                                      pool_coarse=512, pool_fine=256,
+                                      sel_row_cap=512)
+    gb = base.match_batch(rgbs)
+    gp = pooled.match_batch(rgbs)
+    assert not bool(pooled.last_pool.fallback)
+
+    def vset(m):
+        t, x_, y_, s, v = (np.asarray(a) for a in m)
+        return {(int(t[i]), int(x_[i]), int(y_[i]), round(float(s[i]), 4))
+                for i in np.ndindex(v.shape) if v[i]}
+
+    found_any = False
+    for cid in ("c40", "c700"):
+        assert vset(gp[cid]) == vset(gb[cid])
+        found_any |= bool(np.asarray(gb[cid].valid).any())
+    assert found_any

@@ -187,7 +187,11 @@ def main():
     # the bank shard ppermutes around the ring each step — weight bytes
     # in flight replace the static TP layout's frame replication.
     # ------------------------------------------------------------------
-    n_ring = 4
+    # Ring size 2 by default: each rotation step scores the frame batch
+    # EXHAUSTIVELY against one bank shard, and on the timeshared virtual
+    # CPU mesh every reference-scale step costs ~10 s of GEMM per device —
+    # the wire/overlap math below scales to any ring size analytically.
+    n_ring = int(os.environ.get("LPE_SHARD_RING", "2"))
     ring_devices = np.array(jax.devices()[:n_ring])
     ring_mesh = Mesh(ring_devices, ("ring",))
     rb = make_ring_bank(ring_mesh, "ring", feats1, feats0, C=C, T1=T1, Kc1=Kc1)
@@ -196,6 +200,7 @@ def main():
         use_depth=use_depth, weak_threshold=p.color.weak_threshold,
         use_pallas_refine=False,
     )
+    print("[shard] ring: compiling + executing...", file=sys.stderr)
     frames_r, depths_r, _ = BM._real_scenes(r, meta, n_ring, H, W, rng)
     lowered = ring_step.lower(jnp.asarray(frames_r), jnp.asarray(depths_r), rb)
     hlo = lowered.compile().as_text()
@@ -255,7 +260,10 @@ def main():
         T0=T0, T1=T1, use_depth=use_depth,
         weak_threshold=p.color.weak_threshold)
     R0_1, R1_1 = pyr[0][0], pyr[1][0]
-    W1_kn = jnp.asarray(sb.W1_rows).T  # replicated (K, N) weights
+    # Rebuild the (K, N) weights UNCOMMITTED (host round-trip): sb.W1_rows
+    # is committed to the 8-device TP mesh, and the 6-device row mesh
+    # rejects operands committed elsewhere.
+    W1_kn = jax.device_put(np.ascontiguousarray(np.asarray(sb.W1_rows).T))
     row_m = row_fn(R1_1, R0_1, W1_kn, feats1, feats0)
     jax.block_until_ready(row_m)
     H1, W1c = int(R1_1.shape[1]), int(R1_1.shape[2])
