@@ -261,10 +261,21 @@ def _bench_real_bank(B, iters, extra):
     # granularity): the headline contender vs the per-frame-cap path.
     pool1 = int(os.environ.get("LPE_BENCH_POOL1", str(56 * B)))
     pool2 = int(os.environ.get("LPE_BENCH_POOL2", str(36 * B)))
+    # Group-max pre-bound (build_group_bound): replaces the full (B, P, N)
+    # bound GEMM + epilogue with a (B*P, N/group) one + a per-template
+    # re-test at pooled positions only.  LPE_BENCH_GROUP=0 disables.
+    grp = int(os.environ.get("LPE_BENCH_GROUP", "16"))
+    gkw = {}
+    if grp:
+        W_grp, gcnt = M.build_group_bound(feats1, C, T1, Kc1, grp)
+        jax.block_until_ready((W_grp, gcnt))
+        gkw = dict(W_group=W_grp, group_counts=gcnt, group=grp,
+                   pool0=int(os.environ.get("LPE_BENCH_POOL0",
+                                            str(2 * pool1))))
     orch_pool = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
                         M.match_pooled_fine_with_fallback(
                             Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1, Kc1,
-                            fine_g, pool1, pool2, top_k, Wc))
+                            fine_g, pool1, pool2, top_k, Wc, **gkw))
 
     def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
         R0, R1 = pre_b(rgbs, depths)

@@ -68,7 +68,8 @@ class BatchedMatcher:
                  prune_pos_cap: int = 256, prune_mode: str = "positions",
                  fine_g: int | None = 4, fine_pos_cap: int | None = None,
                  pool_coarse: int | None = None, pool_fine: int | None = None,
-                 sel_row_cap: int = 128):
+                 sel_row_cap: int = 128, group_bound: int | None = None,
+                 pool_group: int | None = None):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -95,7 +96,11 @@ class BatchedMatcher:
         self.pool_coarse = pool_coarse if pool_coarse is not None else 64 * batch
         self.pool_fine = pool_fine if pool_fine is not None else 32 * batch
         self.sel_row_cap = sel_row_cap
+        self.group_bound = group_bound
+        self.pool_group = pool_group if pool_group is not None \
+            else 2 * self.pool_coarse
         self.W_fine = None
+        self.W_group = self.group_counts = None
         if prune_mode == "pooled" and not self.fine_g:
             raise ValueError("prune_mode='pooled' requires a fine_g that "
                              f"divides T1={self.T1}")
@@ -109,6 +114,10 @@ class BatchedMatcher:
             if prune_mode in ("positions", "pooled") and self.fine_g:
                 self.W_fine = M.build_cell_weights_fine(
                     self.feats1, 8 * n_mod, self.T1, self.Kc1, self.fine_g
+                )
+            if prune_mode == "pooled" and group_bound:
+                self.W_group, self.group_counts = M.build_group_bound(
+                    self.feats1, 8 * n_mod, self.T1, self.Kc1, group_bound
                 )
         self._build()
 
@@ -139,12 +148,18 @@ class BatchedMatcher:
         if self.prune and self.prune_mode == "pooled":
             g = self.fine_g
             p1, p2, rcap = self.pool_coarse, self.pool_fine, self.sel_row_cap
+            grp, p0 = self.group_bound, self.pool_group
+            Wgr, gcnt = self.W_group, self.group_counts
 
             def _match_pool(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
                 vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
+                kw = {}
+                if Wgr is not None:
+                    kw = dict(W_group=Wgr, group_counts=gcnt, pool0=p0,
+                              group=grp)
                 return M.match_pooled_fine_with_fallback(
                     Rb, W_gemm, W_cell, W_fine, f1.count, vpos, thr - 5.0,
-                    T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap,
+                    T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap, **kw,
                 )
 
             self._match_pool = jax.jit(_match_pool,

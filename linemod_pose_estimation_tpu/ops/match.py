@@ -1170,6 +1170,115 @@ def pool_plan_from_margins(margins: jnp.ndarray, cap: int) -> PoolPlan:
     )
 
 
+@partial(jax.jit, static_argnames=("C", "T", "Kc", "group"))
+def build_group_bound(
+    feats: LevelFeatures, C: int, T: int, Kc: int, group: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Group-max cell-bound weights: (Ng, C*Kc*Kc) int8 with
+    W_group[g, bin] = max over the group's templates of W_cell[n, bin],
+    plus the members' feature counts (Ng, group) int32 (0 = dead slot).
+
+    For every template n in group g and any position p,
+      ub(p, n) = P_ub[p] . W_cell[n] <= P_ub[p] . W_group[g]
+    (P_ub >= 0), so a GROUP margin with the group's loosest integer
+    threshold dominates every member's margin — a pre-bound with
+    `group`x fewer GEMM columns whose survivors are re-tested by the
+    per-template bound at pooled positions only (pool_plan_grouped).
+    Banks order templates along the view-sphere walk, so neighbours are
+    similar views and the group max stays tight."""
+    Wc_ = build_cell_weights(feats, C, T, Kc)  # (N, bins)
+    N = Wc_.shape[0]
+    Ng = -(-N // group)
+    pad = Ng * group - N
+    Wp = jnp.pad(Wc_, [(0, pad), (0, 0)])
+    W_group = Wp.reshape(Ng, group, -1).max(axis=1)
+    counts = jnp.pad(feats.count, [(0, pad)]).reshape(Ng, group)
+    return W_group, counts
+
+
+@partial(jax.jit, static_argnames=("T", "Kc", "pool0", "pool1", "group"))
+def pool_plan_grouped(
+    Rb: jnp.ndarray,
+    W_cell: jnp.ndarray,
+    W_group: jnp.ndarray,
+    group_counts: jnp.ndarray,
+    total_features: jnp.ndarray,
+    vpos_flat: jnp.ndarray,
+    threshold: float,
+    T: int,
+    Kc: int,
+    pool0: int,
+    pool1: int,
+    group: int,
+) -> PoolPlan:
+    """Two-tier pooled position planning: the group-max pre-bound over
+    EVERY position (group x fewer GEMM columns and no (B, P, N) epilogue
+    tensor), a loose frame-major pool of its survivors (pool0), then the
+    per-template cell bound evaluated ONLY at those pooled positions to
+    recover exactly the eligible set position_margins_batched would give
+    (pool1).  Every tier is a superset of the one below, so the plan's
+    survivor set equals the ungrouped plan's whenever no pool overflows
+    (equality-tested in tests/test_pool.py); overflow at either tier sets
+    PoolPlan.overflow and the caller falls back."""
+    B, C, H, W = Rb.shape
+    Hc, Wc_ = H // T, W // T
+    P = Hc * Wc_
+    N = W_cell.shape[0]
+    Ng = W_group.shape[0]
+
+    # Tier 0: group bound at every position.
+    P_ub = jax.vmap(lambda R: _ub_patches(R, T, Kc))(Rb).reshape(B * P, -1)
+    ubg = jax.lax.dot_general(
+        P_ub, W_group,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B*P, Ng)
+    t_int = int_score_threshold(threshold, total_features).astype(jnp.int32)
+    t_pad = jnp.pad(t_int, [(0, Ng * group - N)]).reshape(Ng, group)
+    t_g = jnp.min(
+        jnp.where(group_counts > 0, t_pad, jnp.int32(2**30)), axis=1
+    )  # loosest live member (dead groups -> +inf, never eligible)
+    vpad = jnp.pad(vpos_flat, [(0, 0), (0, Ng * group - N)])
+    vpos_g = jnp.any(vpad.reshape(P, Ng, group), axis=2)  # (P, Ng)
+    margin_g = jnp.where(
+        jnp.tile(vpos_g, (B, 1)), ubg - t_g[None, :], -(2**30)
+    )
+    p0_margins = jnp.max(margin_g, axis=1).reshape(B, P)
+    pp0 = pool_plan_from_margins(p0_margins, pool0)
+
+    # Tier 1: per-template cell bound at the pooled positions only.
+    Rm = Rb[:, :, : Hc * T, : Wc_ * T].reshape(B, C, Hc, T, Wc_, T).max(
+        axis=(3, 5))
+    Mp = jnp.pad(
+        Rm.transpose(0, 2, 3, 1), [(0, 0), (0, Kc), (0, Kc), (0, 0)]
+    ).astype(jnp.int8)  # (B, Hc+Kc, Wc+Kc, C)
+    Hy = Hc + Kc
+    L3 = Mp.reshape(B * Hy, Wc_ + Kc, C)
+    Pub = gather_windows_pooled(
+        L3, pp0.frame * Hy + pp0.pos // Wc_, pp0.pos % Wc_, Kc
+    )  # (M0, Kc*Kc*C) — same column order as build_cell_weights
+    ub = jax.lax.dot_general(
+        Pub, W_cell,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (M0, N)
+    margin = jnp.where(
+        vpos_flat[pp0.pos] & pp0.keep[:, None], ub - t_int[None, :], -(2**30)
+    )
+    elig = jnp.max(margin, axis=1) >= 0  # (M0,)
+    idx, keep, total = _compact_eligible_flat(elig, pool1)
+    frame = pp0.frame[idx]
+    pos = pp0.pos[idx]
+    ohf = (pp0.frame[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]) \
+        & elig[:, None]
+    m_surv = jnp.sum(ohf.astype(jnp.int32), axis=0)
+    starts = jnp.cumsum(m_surv) - m_surv
+    return PoolPlan(
+        frame=frame, pos=pos, keep=keep, starts=starts, m_survivors=m_surv,
+        total=total, overflow=pp0.overflow | (total > pool1),
+    )
+
+
 @partial(jax.jit, static_argnames=("K",))
 def gather_windows_pooled(
     L3: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray, K: int
@@ -1337,7 +1446,8 @@ class PooledStats(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=(
-    "T", "Kc", "g", "pool1", "pool2", "top_k", "Wc", "r_cap"
+    "T", "Kc", "g", "pool1", "pool2", "top_k", "Wc", "r_cap", "pool0",
+    "group"
 ))
 def match_pooled_fine_with_fallback(
     Rb: jnp.ndarray,
@@ -1355,6 +1465,10 @@ def match_pooled_fine_with_fallback(
     top_k: int,
     Wc: int,
     r_cap: int = 128,
+    W_group: jnp.ndarray | None = None,
+    group_counts: jnp.ndarray | None = None,
+    pool0: int | None = None,
+    group: int | None = None,
 ) -> tuple[CoarseMatches, jnp.ndarray, PooledStats]:
     """Two-stage exact pruning over a BATCH-SHARED survivor pool (the
     per-frame-granular twin of match_coarse_pruned_fine_with_fallback).
@@ -1371,12 +1485,24 @@ def match_pooled_fine_with_fallback(
     UNCONDITIONALLY exact (cv::linemod semantics, rgbdDetector.cpp:31-34).
 
     Returns (CoarseMatches (B, top_k), n_valid (B,), PooledStats);
-    n_valid feeds the refinement walk's live-prefix skip."""
+    n_valid feeds the refinement walk's live-prefix skip.
+
+    With `W_group`/`group_counts`/`pool0`/`group` set (build_group_bound),
+    the coarse plan routes through the two-tier pool_plan_grouped — the
+    group-max pre-bound kills the full (B, P, N) bound GEMM + epilogue;
+    the resulting plan holds the identical eligible set, so everything
+    downstream (and the exactness argument) is unchanged."""
     B = Rb.shape[0]
-    margins = position_margins_batched(
-        Rb, W_cell, total_features, vpos_flat, threshold, T, Kc
-    )
-    pp = pool_plan_from_margins(margins, pool1)
+    if W_group is not None:
+        pp = pool_plan_grouped(
+            Rb, W_cell, W_group, group_counts, total_features, vpos_flat,
+            threshold, T, Kc, pool0, pool1, group,
+        )
+    else:
+        margins = position_margins_batched(
+            Rb, W_cell, total_features, vpos_flat, threshold, T, Kc
+        )
+        pp = pool_plan_from_margins(margins, pool1)
     t_int = int_score_threshold(threshold, total_features).astype(jnp.int32)
     P2 = min(pool2, pool1)
 

@@ -491,6 +491,9 @@ def make_sharded_detect_step(
     fine_g: int | None = 4,
     fine_pos_cap: int | None = None,
     use_pallas_refine: bool | None = None,
+    pool_coarse: int | None = None,
+    pool_fine: int | None = None,
+    sel_row_cap: int = 128,
 ):
     """The full multi-chip detect step over a raw frame batch:
 
@@ -544,8 +547,31 @@ def make_sharded_detect_step(
         R0, R1 = jax.vmap(pre)(rgbs, depths)
         Hc, Wc = R1.shape[2] // T1, R1.shape[3] // T1
         vpos = M.position_validity_flat(bank.feats1.size, T1, Hc, Wc)
+        nv = None
 
-        if prune and prune_mode == "positions" and fine_g:
+        if prune and prune_mode == "pooled":
+            # The PRODUCTION single-chip mode, shard-local: one batch-
+            # shared survivor pool per device over its local frames and
+            # bank shard (pool capacity scales with the LOCAL batch).  No
+            # collectives in any branch, so shards overflow/fall back
+            # independently.
+            if not fine_g:
+                raise ValueError("prune_mode='pooled' requires fine_g")
+            if bank.W_fine.shape[1] != exp_cols:
+                raise ValueError(
+                    f"bank W_fine has {bank.W_fine.shape[1]} columns but "
+                    f"this step's fine_g={fine_g} needs {exp_cols}"
+                )
+            B_loc = R1.shape[0]
+            p1 = pool_coarse if pool_coarse is not None else 64 * B_loc
+            p2 = pool_fine if pool_fine is not None else 32 * B_loc
+            cand, nv, _stats = M.match_pooled_fine_with_fallback(
+                R1, bank.W1_rows.T, bank.W_cell, bank.W_fine,
+                bank.feats1.count, vpos, sel_thr, T1, Kc1, fine_g,
+                p1, p2, top_k, Wc, r_cap=sel_row_cap,
+            )
+            n_fallback = _stats.fallback.astype(jnp.int32)
+        elif prune and prune_mode == "positions" and fine_g:
             # Two-stage position pruning (the single-chip production
             # mode): coarse cell-max bound, then the g x g subcell
             # re-test, both shard-local; the weight matrix stays static
@@ -602,7 +628,7 @@ def make_sharded_detect_step(
 
         ref = M.refine_candidates_opencv_batched(
             R0, bank.feats0, cand, T1, threshold, E0=E0, fine_T=T0,
-            use_pallas=use_pallas_refine,
+            use_pallas=use_pallas_refine, n_valid=nv,
         )
         mat = M.Matches(
             template_id=ref.template_id + shard * n_local,

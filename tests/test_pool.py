@@ -205,3 +205,55 @@ def test_batched_matcher_pooled_mode(rng):
                 for i in np.ndindex(v.shape) if v[i]}
 
     assert vset(mp) == vset(mb) != set()
+
+
+def test_grouped_prebound_equals_ungrouped(rng):
+    """The group-max pre-bound tier must reproduce the ungrouped pooled
+    plan's results exactly (same eligible set re-tested per template), on
+    planted scenes and with a group size that does not divide N."""
+    n = 48
+    feats = _bank(rng, n)
+    Rb = np.array(_frames(rng, b=3))
+    for b, (tid, py, px) in enumerate([(3, 2, 4), (10, 7, 9), (40, 1, 11)]):
+        Rb = _plant(Rb, feats, tid, b, py, px)
+    Rb = jnp.asarray(Rb)
+    Hc, Wcc = Rb.shape[2] // T1, Rb.shape[3] // T1
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wcc)
+    Wg, Wc, Wf = _weights(feats)
+    thr, top_k = 85.0, 64
+    group = 7  # deliberately not dividing n=48
+
+    W_group, gcnt = M.build_group_bound(feats, C, T1, KC, group)
+    # Group bound dominates every member's bound at every position.
+    P_ub = jnp.stack([M._ub_patches(R, T1, KC) for R in Rb]).astype(jnp.int32)
+    ub_n = jnp.einsum("bpk,nk->bpn", P_ub, Wc.astype(jnp.int32))
+    ub_g = jnp.einsum("bpk,gk->bpg", P_ub, W_group.astype(jnp.int32))
+    Ng = W_group.shape[0]
+    ub_n_pad = jnp.pad(ub_n, [(0, 0), (0, 0), (0, Ng * group - n)])
+    assert bool(jnp.all(
+        ub_g >= ub_n_pad.reshape(*ub_n.shape[:2], Ng, group).max(axis=3)))
+
+    base = M.match_pooled_fine_with_fallback(
+        Rb, Wg, Wc, Wf, feats.count, vpos, thr, T1, KC, G,
+        pool1=512, pool2=256, top_k=top_k, Wc=Wcc, r_cap=512,
+    )
+    grp = M.match_pooled_fine_with_fallback(
+        Rb, Wg, Wc, Wf, feats.count, vpos, thr, T1, KC, G,
+        pool1=512, pool2=256, top_k=top_k, Wc=Wcc, r_cap=512,
+        W_group=W_group, group_counts=gcnt, pool0=1024, group=group,
+    )
+    assert not bool(grp[2].fallback)
+    assert _valid_set(grp[0]) == _valid_set(base[0])
+    np.testing.assert_array_equal(np.asarray(grp[1]), np.asarray(base[1]))
+    # Plans agree on the TRUE survivor telemetry.
+    np.testing.assert_array_equal(np.asarray(grp[2].coarse_m),
+                                  np.asarray(base[2].coarse_m))
+
+    # pool0 too small -> overflow -> exhaustive fallback, still exact.
+    grp_of = M.match_pooled_fine_with_fallback(
+        Rb, Wg, Wc, Wf, feats.count, vpos, thr, T1, KC, G,
+        pool1=512, pool2=256, top_k=top_k, Wc=Wcc, r_cap=512,
+        W_group=W_group, group_counts=gcnt, pool0=4, group=group,
+    )
+    assert bool(grp_of[2].fallback)
+    assert _valid_set(grp_of[0]) == _valid_set(base[0])

@@ -342,3 +342,54 @@ def test_ring_detect_equals_single_device(rng):
             for i in range(len(ref))
         }
         assert got == want, f"frame {b}: {got} != {want}"
+
+
+def test_sharded_pooled_mode_equals_positions_mode(rng, mesh8):
+    """prune_mode='pooled' (the production batch-shared-pool mode) must
+    produce the same valid matches as the per-frame-cap mode, shard-local
+    pooling and all."""
+    import sys
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, "tests")
+    from test_match import make_object_patch, plant
+
+    from linemod_pose_estimation_tpu.models.detector import Detector
+    from linemod_pose_estimation_tpu.models.templates import DetectorParams
+
+    patch, mask = make_object_patch(rng)
+    src = plant((128, 128, 3), patch, (30, 50))
+    src_mask = plant((128, 128), mask, (30, 50))
+    det = Detector(DetectorParams(), engine="gather")
+    assert det.add_template(src, src_mask, "obj") == 0
+    bank = det.bank("obj")
+    T0, T1 = det.params.t_pyramid
+    Kc1 = bank.max_cell_extent(1)
+    E0 = bank.extent(0)
+    sb = make_sharded_bank(mesh8, bank.merged_features(1),
+                           bank.merged_features(0), C=8, T1=T1, Kc1=Kc1)
+    frames = np.stack([src, plant((128, 128, 3), patch, (38, 34))])
+    rgbs = jax.device_put(jnp.asarray(frames), NamedSharding(mesh8, P("data")))
+    depths = jax.device_put(jnp.zeros((2, 128, 128), jnp.float32),
+                            NamedSharding(mesh8, P("data")))
+
+    kw = dict(top_k=8, threshold=90.0, T0=T0, E0=E0)
+    step_pos = make_sharded_detect_step(mesh8, T1, Kc1, prune=True,
+                                        prune_mode="positions", **kw)
+    step_pool = make_sharded_detect_step(mesh8, T1, Kc1, prune=True,
+                                         prune_mode="pooled",
+                                         pool_coarse=256, pool_fine=128,
+                                         **kw)
+    m_pos, met_pos = step_pos(rgbs, depths, sb)
+    m_pool, met_pool = step_pool(rgbs, depths, sb)
+    assert int(met_pool["prune_fallback_shards"]) == 0
+
+    def vset(m, b):
+        t, x, y, s, v = (np.asarray(a) for a in m)
+        return {(int(t[b, i]), int(x[b, i]), int(y[b, i]),
+                 round(float(s[b, i]), 4))
+                for i in range(t.shape[1]) if v[b, i]}
+
+    for b in range(2):
+        assert vset(m_pool, b) == vset(m_pos, b) != set()
