@@ -653,6 +653,12 @@ def inplane_sweep_fix(
     )
     deficient = dom_frac > dominance
     c0 = pcu.masked_centroid(model_pts, model_valid)
+    # Sweep scoring subsamples the model cloud 4x: the in-plane signal
+    # lives in the object OUTLINE, which survives decimation, and the
+    # (angles x model x scene) distance volume shrinks 4x.  The full
+    # cloud still defines the centroid and the applied transform.
+    mp_s = model_pts[::4]
+    mv_s = model_valid[::4]
 
     Kx = jnp.array([
         [0.0, -n_dom[2], n_dom[1]],
@@ -664,12 +670,12 @@ def inplane_sweep_fix(
         return jnp.eye(3) + jnp.sin(th) * Kx + (1 - jnp.cos(th)) * (Kx @ Kx)
 
     def _score(th):
-        mp = (model_pts - c0[None, :]) @ _rot(th).T + c0[None, :]
+        mp = (mp_s - c0[None, :]) @ _rot(th).T + c0[None, :]
         d2 = pcu.pairwise_sq_dists(mp, scene_pts)
         d2 = jnp.where(scene_valid[None, :], d2, jnp.inf)
         dmin = jnp.min(d2, axis=1)
-        return jnp.sum(jnp.where(model_valid, dmin, 0.0)) / jnp.maximum(
-            jnp.sum(model_valid), 1
+        return jnp.sum(jnp.where(mv_s, dmin, 0.0)) / jnp.maximum(
+            jnp.sum(mv_s), 1
         )
 
     half = sweep_deg * jnp.pi / 180.0
