@@ -208,7 +208,9 @@ def _bench_real_bank(B, iters, extra):
     fine_g = 4
 
     n0 = bank.num_templates
-    reps = max(1, -(-10240 // n0))  # tile UP to >= 10240
+    # tile UP to >= 10240 (LPE_BENCH_TILE overrides for smoke tests).
+    tile_to = int(os.environ.get("LPE_BENCH_TILE", "10240"))
+    reps = max(1, -(-tile_to // n0))
     N = ((n0 * reps + 127) // 128) * 128
     feats1 = _tile_features(bank.merged_features(1), reps, N)
     feats0 = _tile_features(bank.merged_features(0), reps, N)
@@ -741,6 +743,11 @@ def _e2e_p50_ms(match_frames, rgbs, depths, cloud, iters=15):
 def main() -> None:
     import jax
 
+    # Honour an EXPLICIT host-CPU override (smoke tests): the environment's
+    # sitecustomize re-forces the axon platform via jax.config, so the env
+    # var alone is not enough (same pattern as the CLI and eval tools).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
