@@ -526,10 +526,11 @@ def make_sharded_detect_step(
     )
     sel_thr = max(threshold - coarse_margin, 0.0)
     fine_g = _effective_fine_g(T1, fine_g)
-    m2_cap = fine_pos_cap or max(prune_pos_cap // 2, 1)
+    m2_cap = M._default_cap(fine_pos_cap, prune_pos_cap, "fine_pos_cap")
     if fine_g:
         # Catch a bank built with a DIFFERENT g (or fine disabled) at
-        # build time instead of a shape error mid-trace.
+        # build time instead of a shape error mid-trace.  C_eff mirrors
+        # make_sharded_bank's modality channel count (8 per modality).
         C_eff = 16 if use_depth else 8
         exp_cols = (Kc1 * T1 // fine_g) ** 2 * C_eff
 
@@ -560,7 +561,8 @@ def make_sharded_detect_step(
             if bank.W_fine.shape[1] != exp_cols:
                 raise ValueError(
                     f"bank W_fine has {bank.W_fine.shape[1]} columns but "
-                    f"this step's fine_g={fine_g} needs {exp_cols}"
+                    f"this step's fine_g={fine_g} needs {exp_cols} "
+                    f"(C={C_eff} for use_depth={use_depth})"
                 )
             B_loc = R1.shape[0]
             p1 = pool_coarse if pool_coarse is not None else 64 * B_loc
