@@ -123,7 +123,15 @@ def main(out_path: str = "ACCURACY.json") -> None:
                 "low-texture backgrounds with clutter/occlusion/negatives",
         "wall_s": round(time.time() - t_start, 1),
     }
-    EV.write_report(out_path, s)
+    # Merge into an existing report: this tool owns the RGB top-level keys;
+    # sections written by other tools (e.g. "rgbd" from
+    # run_accuracy_eval_rgbd.py) must survive an RGB-only refresh.
+    report = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    report.update(s)
+    EV.write_report(out_path, report)
     print("wrote", out_path)
     print(json.dumps(s, indent=2))
 
