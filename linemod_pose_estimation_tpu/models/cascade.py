@@ -634,14 +634,27 @@ def inplane_sweep_fix(
     When one plane dominates the visible scene surface, the point-to-plane
     normal equations are blind to rotation about its normal, so an initial
     in-plane offset (a view-sphere-neighbour template, ~3 deg) survives
-    ICP untouched.  Sweep rotations about the DOMINANT scene normal
-    through the model centroid — plane distances are invariant, so ICP's
-    converged depth alignment is preserved — scored by model->scene
-    nearest-neighbour distance (the object OUTLINE carries the in-plane
-    signal point-to-plane cannot see): a coarse pass over +-sweep_deg,
-    then a fine pass around the winner.  The fix applies only when the
-    normals are degenerate (mean |n . n_dom| > dominance) AND the best
-    angle strictly improves on 0 deg.
+    ICP untouched.  Nearest-neighbour scores cannot see that offset either
+    at cascade sampling density (~900 pts/cloud): a rotated face point
+    still lands ON the scene plane, so only a few corner slivers carry
+    signal and the measured landscape is flat to 0.02% across +-5 deg.
+
+    Instead, recover the offset in CLOSED FORM from each cloud's in-plane
+    rectangle orientation: project both clouds onto the dominant plane
+    (points within 5 mm of the median plane depth — drops side faces the
+    mis-posed render exposes), estimate each cloud's orientation by the
+    principal second-moment axis, refine it with a two-stage min-area
+    bounding-box sweep (the bbox area of a rectangle is V-shaped in
+    rotation, extreme-point driven, and immune to the NN noise floor),
+    and rotate the model about the dominant normal through its centroid
+    by the orientation DIFFERENCE — plane distances are invariant, so
+    ICP's converged depth alignment is preserved.
+
+    The fix applies only when the normals are degenerate (mean
+    |n . n_dom| > dominance), BOTH in-plane moment ellipses are
+    anisotropic (orientation well-defined; a square face has none), and
+    the correction is meaningful but bounded
+    (0.25 deg <= |angle| <= sweep_deg).
 
     Returns (T_fix (4, 4), applied ()): T_fix is the identity when not
     applied."""
@@ -653,12 +666,62 @@ def inplane_sweep_fix(
     )
     deficient = dom_frac > dominance
     c0 = pcu.masked_centroid(model_pts, model_valid)
-    # Sweep scoring subsamples the model cloud 4x: the in-plane signal
-    # lives in the object OUTLINE, which survives decimation, and the
-    # (angles x model x scene) distance volume shrinks 4x.  The full
-    # cloud still defines the centroid and the applied transform.
-    mp_s = model_pts[::4]
-    mv_s = model_valid[::4]
+
+    # In-plane orthonormal basis (branchless seed choice).
+    seed = jnp.where(jnp.abs(n_dom[0]) < 0.9,
+                     jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(n_dom, seed)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+    e2 = jnp.cross(n_dom, e1)
+
+    plane_eps = 5e-3  # m; render/sensor depth quantization is ~1-3 mm
+
+    def _orientation(pts, valid):
+        """(angle of the principal in-plane axis, eigenvalue anisotropy)."""
+        depth = pts @ n_dom
+        med = jnp.nanmedian(jnp.where(valid, depth, jnp.nan))
+        keep = valid & (jnp.abs(depth - med) < plane_eps)
+        cnt = jnp.maximum(jnp.sum(keep), 1)
+        q = jnp.stack([pts @ e1, pts @ e2], axis=-1)
+        cq = jnp.sum(jnp.where(keep[:, None], q, 0.0), axis=0) / cnt
+        qc = q - cq[None, :]
+        qm = jnp.where(keep[:, None], qc, 0.0)
+        C = qm.T @ qm / cnt
+        half_tr = 0.5 * (C[0, 0] + C[1, 1])
+        disc = jnp.sqrt(0.25 * (C[0, 0] - C[1, 1]) ** 2 + C[0, 1] ** 2)
+        aniso = (half_tr + disc) / jnp.maximum(half_tr - disc, 1e-12)
+        a0 = 0.5 * jnp.arctan2(2.0 * C[0, 1], C[0, 0] - C[1, 1])
+
+        def _area(th):
+            c, s = jnp.cos(th), jnp.sin(th)
+            x = qc[:, 0] * c + qc[:, 1] * s
+            y = -qc[:, 0] * s + qc[:, 1] * c
+            xk = jnp.where(keep, x, jnp.inf)
+            yk = jnp.where(keep, y, jnp.inf)
+            xK = jnp.where(keep, x, -jnp.inf)
+            yK = jnp.where(keep, y, -jnp.inf)
+            return ((jnp.max(xK) - jnp.min(xk))
+                    * (jnp.max(yK) - jnp.min(yk)))
+
+        half = sweep_deg * jnp.pi / 180.0
+        a1s = a0 + jnp.linspace(-half, half, steps)
+        ar1 = jax.vmap(_area)(a1s)
+        b1 = a1s[jnp.argmin(ar1)]
+        step1 = 2.0 * half / max(steps - 1, 1)
+        a2s = b1 + jnp.linspace(-step1, step1, 11)
+        ar2 = jax.vmap(_area)(a2s)
+        return a2s[jnp.argmin(ar2)], aniso
+
+    ang_m, aniso_m = _orientation(model_pts, model_valid)
+    ang_s, aniso_s = _orientation(scene_pts, scene_valid)
+    # Rectangle orientation is pi/2-periodic; wrap to (-45, 45] deg.
+    quarter = jnp.pi / 2.0
+    best = jnp.mod(ang_s - ang_m + quarter / 2, quarter) - quarter / 2
+    cap = sweep_deg * jnp.pi / 180.0
+    min_fix = 0.25 * jnp.pi / 180.0
+    applied = (active & deficient
+               & (aniso_m > 1.2) & (aniso_s > 1.2)
+               & (jnp.abs(best) <= cap) & (jnp.abs(best) >= min_fix))
 
     Kx = jnp.array([
         [0.0, -n_dom[2], n_dom[1]],
@@ -669,26 +732,16 @@ def inplane_sweep_fix(
     def _rot(th):
         return jnp.eye(3) + jnp.sin(th) * Kx + (1 - jnp.cos(th)) * (Kx @ Kx)
 
-    def _score(th):
-        mp = (mp_s - c0[None, :]) @ _rot(th).T + c0[None, :]
-        d2 = pcu.pairwise_sq_dists(mp, scene_pts)
-        d2 = jnp.where(scene_valid[None, :], d2, jnp.inf)
-        dmin = jnp.min(d2, axis=1)
-        return jnp.sum(jnp.where(mv_s, dmin, 0.0)) / jnp.maximum(
-            jnp.sum(mv_s), 1
+    import os as _os
+    if _os.environ.get("LPE_DEBUG_SWEEP"):
+        jax.debug.print(
+            "[sweep] active={a} dom_frac={d:.4f} deficient={df} "
+            "ang_m={am:.3f} ang_s={asc:.3f} best_deg={b:.3f} "
+            "aniso={nm:.2f}/{ns:.2f} applied={ap}",
+            a=active, d=dom_frac, df=deficient,
+            am=ang_m * 180.0 / jnp.pi, asc=ang_s * 180.0 / jnp.pi,
+            b=best * 180.0 / jnp.pi, nm=aniso_m, ns=aniso_s, ap=applied,
         )
-
-    half = sweep_deg * jnp.pi / 180.0
-    a1 = jnp.linspace(-half, half, steps)
-    sc1 = jax.vmap(_score)(a1)
-    best1 = a1[jnp.argmin(sc1)]
-    step1 = 2.0 * half / max(steps - 1, 1)
-    a2 = best1 + jnp.linspace(-step1, step1, 11)
-    sc2 = jax.vmap(_score)(a2)
-    best = a2[jnp.argmin(sc2)]
-    s_best = jnp.min(sc2)
-    s_zero = _score(jnp.float32(0.0))
-    applied = active & deficient & (s_best < s_zero * 0.98)
     Rb = _rot(jnp.where(applied, best, 0.0))
     T_fix = geo.make_transform(Rb, c0 - Rb @ c0)
     return T_fix, applied
@@ -880,6 +933,17 @@ def _pose_one_hypothesis(
     hv_model_valid = model_valid
 
     if p2plane and params.inplane_sweep_steps > 0:
+        import os as _os
+        if _os.environ.get("LPE_DUMP_SWEEP"):
+            def _dump(mp, mv, sp, sn, sv, act):
+                import numpy as _np
+                if bool(act):
+                    _np.savez(_os.environ["LPE_DUMP_SWEEP"],
+                              model=_np.asarray(mp), mvalid=_np.asarray(mv),
+                              scene=_np.asarray(sp), snorm=_np.asarray(sn),
+                              svalid=_np.asarray(sv))
+            jax.debug.callback(_dump, model_final, model_valid, scene_pts,
+                               scene_n, scene_valid, active)
         T_fix, _applied = inplane_sweep_fix(
             model_final, model_valid, scene_pts, scene_n, scene_valid,
             active, params.inplane_sweep_deg, params.inplane_sweep_steps,

@@ -53,6 +53,20 @@ def _log(m):
 def pose_section(use_depth: bool) -> dict:
     meta_full, glob = TemplateBank.read_params_yaml(BANK)
     r = Renderer(STL, W, H, glob.focal_length_x, glob.focal_length_y)
+    # Re-training the same ~100 views costs ~40 CPU-minutes; LPE_BANK_CACHE
+    # names a directory where the trained detector + kept-view metadata are
+    # cached per modality (host-CPU iteration on pose-stage changes).
+    cache = os.environ.get("LPE_BANK_CACHE")
+    tag = "rgbd" if use_depth else "rgb"
+    det_p = cache and os.path.join(cache, f"pose_refresh_{tag}.yml")
+    meta_p = cache and os.path.join(cache, f"pose_refresh_{tag}.npz")
+    if det_p and os.path.exists(det_p) and os.path.exists(meta_p):
+        det = Detector.read(det_p)
+        z = np.load(meta_p)
+        meta = TemplateMetadata(R=z["R"], T=z["T"], K=z["K"], D=z["D"],
+                                Ori_dist=z["Ori_dist"], Rect=z["Rect"])
+        _log(f"loaded cached {tag} bank from {cache}")
+        return _pose_eval(det, meta, glob, use_depth, r)
     ids = list(range(0, meta_full.R.shape[0], 26))[:N_TRAIN]
     det = Detector(DetectorParams(use_depth_normal=use_depth))
     kept = []
@@ -73,6 +87,14 @@ def pose_section(use_depth: bool) -> dict:
         D=meta_full.D[kept], Ori_dist=meta_full.Ori_dist[kept],
         Rect=meta_full.Rect[kept],
     )
+    if det_p:
+        det.write(det_p)
+        np.savez(meta_p, R=meta.R, T=meta.T, K=meta.K, D=meta.D,
+                 Ori_dist=meta.Ori_dist, Rect=meta.Rect)
+    return _pose_eval(det, meta, glob, use_depth, r)
+
+
+def _pose_eval(det, meta, glob, use_depth: bool, r) -> dict:
     params = CC.CascadeParams(
         canonicalize="none", max_clusters=2, cluster_filter_thresh=0,
         icp_variant="point_to_plane", orientation_hypotheses=2,
@@ -80,7 +102,8 @@ def pose_section(use_depth: bool) -> dict:
     )
     pipe = DetectionPipeline(det, meta, glob, STL, params, render_size=(W, H))
     t0 = time.time()
-    pcases = EV.evaluate_pose(pipe, r, meta, list(range(len(kept)))[:N_POSE],
+    pcases = EV.evaluate_pose(pipe, r, meta,
+                              list(range(meta.R.shape[0]))[:N_POSE],
                               threshold=85.0, use_depth=use_depth)
     _log(f"pose eval n={len(pcases)} ({time.time()-t0:.0f}s)")
     return EV.summarize([], pcases)["pose"]
