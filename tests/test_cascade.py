@@ -486,3 +486,34 @@ def test_inplane_sweep_recovers_face_on_rotation():
         sweep_deg=6.0, steps=13, dominance=0.95,
     )
     assert not bool(applied2)
+
+
+def test_inplane_sweep_real_failing_view():
+    """Regression anchor on the REAL clouds from the ACCURACY tail view
+    (boxNew view 45, face-on): the post-ICP model cloud sat 3.02 deg
+    in-plane from the scene (axis . dominant-normal = 0.9996) and the
+    NN-score sweep measured FLAT to 0.02% across +-5 deg, so the fix
+    never applied.  The rectangle-orientation estimator must apply a
+    correction within 0.5 deg of the true -3.02 about the dominant
+    normal (data/sweep_view45_clouds.npz, captured via LPE_DUMP_SWEEP)."""
+    import os
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "..", "data",
+                             "sweep_view45_clouds.npz"))
+    T_fix, applied = CC.inplane_sweep_fix(
+        jnp.asarray(z["model"]), jnp.asarray(z["mvalid"]),
+        jnp.asarray(z["scene"]), jnp.asarray(z["snorm"]),
+        jnp.asarray(z["svalid"]), jnp.asarray(True),
+        sweep_deg=6.0, steps=13, dominance=0.95,
+    )
+    assert bool(applied)
+    R = np.asarray(T_fix[:3, :3])
+    ang = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+    assert abs(ang - 3.02) < 0.5, f"correction {ang} deg vs true 3.02"
+    # axis must be the dominant scene normal (in-plane repair only)
+    ax = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    ax /= max(np.linalg.norm(ax), 1e-12)
+    sn = np.asarray(z["snorm"])[np.asarray(z["svalid"]).astype(bool)]
+    n_dom = sn.mean(0)
+    n_dom /= np.linalg.norm(n_dom)
+    assert abs(ax @ n_dom) > 0.999
