@@ -652,9 +652,11 @@ def inplane_sweep_fix(
 
     The fix applies only when the normals are degenerate (mean
     |n . n_dom| > dominance), BOTH in-plane moment ellipses are
-    anisotropic (orientation well-defined; a square face has none), and
-    the correction is meaningful but bounded
-    (0.25 deg <= |angle| <= sweep_deg).
+    anisotropic (orientation well-defined; a square face has none), the
+    two clouds' oriented-bbox dimensions agree within 10% (same physical
+    rectangle — different visible extents make the orientation
+    difference meaningless), and the correction is meaningful but
+    bounded (0.25 deg <= |angle| <= sweep_deg).
 
     Returns (T_fix (4, 4), applied ()): T_fix is the identity when not
     applied."""
@@ -703,6 +705,17 @@ def inplane_sweep_fix(
             return ((jnp.max(xK) - jnp.min(xk))
                     * (jnp.max(yK) - jnp.min(yk)))
 
+        def _dims(th):
+            c, s = jnp.cos(th), jnp.sin(th)
+            x = qc[:, 0] * c + qc[:, 1] * s
+            y = -qc[:, 0] * s + qc[:, 1] * c
+            xk = jnp.where(keep, x, jnp.inf)
+            yk = jnp.where(keep, y, jnp.inf)
+            xK = jnp.where(keep, x, -jnp.inf)
+            yK = jnp.where(keep, y, -jnp.inf)
+            return jnp.stack([jnp.max(xK) - jnp.min(xk),
+                              jnp.max(yK) - jnp.min(yk)])
+
         half = sweep_deg * jnp.pi / 180.0
         a1s = a0 + jnp.linspace(-half, half, steps)
         ar1 = jax.vmap(_area)(a1s)
@@ -710,16 +723,25 @@ def inplane_sweep_fix(
         step1 = 2.0 * half / max(steps - 1, 1)
         a2s = b1 + jnp.linspace(-step1, step1, 11)
         ar2 = jax.vmap(_area)(a2s)
-        return a2s[jnp.argmin(ar2)], aniso
+        b2 = a2s[jnp.argmin(ar2)]
+        return b2, aniso, _dims(b2)
 
-    ang_m, aniso_m = _orientation(model_pts, model_valid)
-    ang_s, aniso_s = _orientation(scene_pts, scene_valid)
+    ang_m, aniso_m, dims_m = _orientation(model_pts, model_valid)
+    ang_s, aniso_s, dims_s = _orientation(scene_pts, scene_valid)
+    # Same physical rectangle: the two clouds' oriented-bbox dimensions
+    # must agree (0.3% on the real tail view) — a dominance-passing view
+    # whose clouds expose DIFFERENT extents would otherwise receive a
+    # spurious orientation difference.
+    dims_ok = jnp.all(
+        jnp.abs(dims_m - dims_s)
+        < 0.1 * jnp.maximum(jnp.maximum(dims_m, dims_s), 1e-6)
+    )
     # Rectangle orientation is pi/2-periodic; wrap to (-45, 45] deg.
     quarter = jnp.pi / 2.0
     best = jnp.mod(ang_s - ang_m + quarter / 2, quarter) - quarter / 2
     cap = sweep_deg * jnp.pi / 180.0
     min_fix = 0.25 * jnp.pi / 180.0
-    applied = (active & deficient
+    applied = (active & deficient & dims_ok
                & (aniso_m > 1.2) & (aniso_s > 1.2)
                & (jnp.abs(best) <= cap) & (jnp.abs(best) >= min_fix))
 
@@ -737,10 +759,11 @@ def inplane_sweep_fix(
         jax.debug.print(
             "[sweep] active={a} dom_frac={d:.4f} deficient={df} "
             "ang_m={am:.3f} ang_s={asc:.3f} best_deg={b:.3f} "
-            "aniso={nm:.2f}/{ns:.2f} applied={ap}",
+            "aniso={nm:.2f}/{ns:.2f} dims_ok={dk} applied={ap}",
             a=active, d=dom_frac, df=deficient,
             am=ang_m * 180.0 / jnp.pi, asc=ang_s * 180.0 / jnp.pi,
-            b=best * 180.0 / jnp.pi, nm=aniso_m, ns=aniso_s, ap=applied,
+            b=best * 180.0 / jnp.pi, nm=aniso_m, ns=aniso_s, dk=dims_ok,
+            ap=applied,
         )
     Rb = _rot(jnp.where(applied, best, 0.0))
     T_fix = geo.make_transform(Rb, c0 - Rb @ c0)
