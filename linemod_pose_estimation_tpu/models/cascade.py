@@ -103,15 +103,20 @@ class CascadeParams:
     # point-to-plane normal equations are blind to rotation about that
     # plane's normal — a face-on view whose best template sits one
     # view-sphere neighbour over keeps its ~3 deg in-plane offset through
-    # ICP untouched (the ACCURACY.json deg_err max tail).  The sweep
-    # rotates the model about the dominant scene normal (through the model
-    # centroid — plane distances are invariant, so ICP's converged depth
-    # alignment is preserved) and scores model->scene nearest-neighbour
-    # distance, where the object OUTLINE carries the in-plane signal; a
-    # coarse pass over +-inplane_sweep_deg then a fine pass around the
-    # winner.  Applied only when the normals are degenerate
-    # (dominant-alignment fraction > inplane_dominance) AND the sweep
-    # strictly improves on 0 deg.  inplane_sweep_steps=0 disables.
+    # ICP untouched (the ACCURACY.json deg_err max tail).  The repair
+    # recovers the offset in closed form from each cloud's in-plane
+    # RECTANGLE ORIENTATION (principal second-moment axis refined by a
+    # two-stage min-area-bbox sweep of inplane_sweep_steps then 11
+    # samples; inplane_sweep_deg bounds both the per-cloud search and the
+    # applied angle) and rotates the model about the dominant scene
+    # normal through its centroid — plane distances are invariant, so
+    # ICP's converged depth alignment is preserved.  Applied only when
+    # the normals are degenerate (dominant-alignment fraction >
+    # inplane_dominance), BOTH clouds' moment ellipses are anisotropic
+    # (>1.2), their oriented-bbox dims agree within 10%, and the angle is
+    # in [0.25 deg, inplane_sweep_deg].  inplane_sweep_steps=0 disables.
+    # (See inplane_sweep_fix for why NN-scored sweeps cannot see this
+    # offset at cascade sampling density.)
     inplane_sweep_deg: float = 6.0
     inplane_sweep_steps: int = 13  # odd: 0 deg sits on the coarse grid
     inplane_dominance: float = 0.95

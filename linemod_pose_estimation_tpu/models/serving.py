@@ -399,6 +399,18 @@ class MultiClassBatchedMatcher:
                 use_pallas=pallas, n_valid=nv,
             )
         )
+        # The merge and the per-class split+gate are jitted too: eager
+        # NamedTuple shuffling costs ~6 dispatches each on the serving
+        # hot path — exactly the per-op tunnel overhead PipelinedRunner
+        # exists to hide.
+        self._merge = jax.jit(M.merge_candidates_sorted)
+        self._split = jax.jit(lambda m: tuple(
+            mi._replace(valid=mi.valid & (mi.similarity >= thr))
+            for mi, thr in zip(
+                M.split_matches_by_class(m, self.slices, self.top_k),
+                self.thresholds,
+            )
+        ))
 
     def match_batch(self, rgbs, depths_mm=None) -> dict[str, M.Matches]:
         """(B, H, W, 3) uint8 [+ (B, H, W) mm] -> {class_id: Matches} with
@@ -423,16 +435,10 @@ class MultiClassBatchedMatcher:
         # dispatch over the valid prefix of ALL classes (the global
         # top-candidate selection across classes — the walk's cost follows
         # the total VALID count, not classes x top_k slots).
-        cat, nv = M.merge_candidates_sorted(cands)
+        cat, nv = self._merge(cands)
         m = self._refine(R0, cat, self.feats0, nv)
-        split = M.split_matches_by_class(m, self.slices, self.top_k)
-        out = {}
-        for i, cid in enumerate(self.class_ids):
-            mi = split[i]
-            out[cid] = mi._replace(
-                valid=mi.valid & (mi.similarity >= self.thresholds[i])
-            )
-        return out
+        split = self._split(m)
+        return dict(zip(self.class_ids, split))
 
 
 class PipelinedRunner:

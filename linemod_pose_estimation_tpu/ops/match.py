@@ -1543,10 +1543,13 @@ def match_pooled_fine_with_fallback(
     def _skip(_):
         # Coarse pool overflowed: shape-matched dummies; the outer cond
         # routes to the exhaustive pass without paying the fine stage.
+        # sel_overflow stays False — the select never ran, and reporting
+        # it as overflowed would point capacity tuning at sel_row_cap
+        # when the knob that actually overflowed is pool_coarse.
         z = jnp.zeros((B, top_k), jnp.int32)
         cands = CoarseMatches(z, z, z, jnp.full((B, top_k), -1.0, jnp.float32),
                               jnp.zeros((B, top_k), bool))
-        return (cands, jnp.zeros((B,), jnp.int32), jnp.asarray(True),
+        return (cands, jnp.zeros((B,), jnp.int32), jnp.asarray(False),
                 jnp.asarray(0, jnp.int32), jnp.zeros((B,), jnp.int32),
                 jnp.asarray(False))
 
@@ -1665,12 +1668,13 @@ def match_pooled_multiclass(
         return cands, nvs, sel_of, total2, fine_m, of2
 
     def _skip(_):
+        # sel_overflow stays False here too — see the single-class _skip.
         z = jnp.zeros((B, top_k), jnp.int32)
         c = CoarseMatches(z, z, z, jnp.full((B, top_k), -1.0, jnp.float32),
                           jnp.zeros((B, top_k), bool))
         return (tuple(c for _ in range(n_cls)),
                 tuple(jnp.zeros((B,), jnp.int32) for _ in range(n_cls)),
-                jnp.asarray(True), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32),
                 jnp.zeros((B,), jnp.int32), jnp.asarray(False))
 
     cands, nvs, sel_of, fine_total, fine_m, of2 = jax.lax.cond(

@@ -66,15 +66,11 @@ def _gunzip(stem):
 
 
 def _tile(f, reps, pad_to):
-    cat = lambda a: np.concatenate([np.asarray(a)] * reps, axis=0)
-    offs, oris, live, cnt, size = (cat(a) for a in f)
-    pad = pad_to - offs.shape[0]
-    z = lambda a: np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-    return M.LevelFeatures(
-        jnp.asarray(z(offs)), jnp.asarray(z(oris)), jnp.asarray(z(live) & True),
-        jnp.asarray(z(cnt)),
-        jnp.asarray(np.pad(size, [(0, pad), (0, 0)], constant_values=10**6)),
-    )
+    """Delegate to bench._tile_features — the ONE tiling used by every
+    benchmark/profile tool, so a fix to the size sentinel or live-mask
+    padding there reaches this report too."""
+    import bench as BM
+    return BM._tile_features(f, reps, pad_to)
 
 
 def main():
