@@ -98,28 +98,29 @@ class CascadeParams:
     # rotation (bank angle_step quantization) and the actual object pose.
     refine_rounds: int = 0
     refine_icp_iter: int = 30
-    # In-plane rotation sweep for RANK-DEFICIENT hypotheses (point_to_plane
-    # only): when a single plane dominates the visible scene surface, the
-    # point-to-plane normal equations are blind to rotation about that
-    # plane's normal — a face-on view whose best template sits one
-    # view-sphere neighbour over keeps its ~3 deg in-plane offset through
-    # ICP untouched (the ACCURACY.json deg_err max tail).  The repair
-    # recovers the offset in closed form from each cloud's in-plane
-    # RECTANGLE ORIENTATION (principal second-moment axis refined by a
-    # two-stage min-area-bbox sweep of inplane_sweep_steps then 11
-    # samples; inplane_sweep_deg bounds both the per-cloud search and the
-    # applied angle) and rotates the model about the dominant scene
-    # normal through its centroid — plane distances are invariant, so
-    # ICP's converged depth alignment is preserved.  Applied only when
-    # the normals are degenerate (dominant-alignment fraction >
-    # inplane_dominance), BOTH clouds' moment ellipses are anisotropic
-    # (>1.2), their oriented-bbox dims agree within 10%, and the angle is
-    # in [0.25 deg, inplane_sweep_deg].  inplane_sweep_steps=0 disables.
+    # In-plane rotation repair for RANK-DEFICIENT hypotheses
+    # (point_to_plane only): when one face dominates the visible scene
+    # surface, the point-to-plane normal equations constrain rotation
+    # about that face's normal weakly or not at all — a view whose best
+    # template sits one view-sphere neighbour over keeps a 1-3 deg
+    # in-plane offset through ICP (the ACCURACY.json deg_err max tail).
+    # The repair recovers the offset in closed form from each cloud's
+    # in-plane RECTANGLE ORIENTATION (full +-45 deg min-area-bbox sweep
+    # of the dominant-plane points, about the MODE scene normal found by
+    # mean-shift) and rotates the model by the orientation difference —
+    # plane distances are invariant, so ICP's converged depth alignment
+    # is preserved.  Applied only when the fraction of scene normals
+    # within ~25 deg of the mode exceeds inplane_dominance (measured
+    # 0.95 on the single-face tail view, 0.84 on a two-face one), both
+    # clouds' bbox-area sweeps are >5% modulated (a near-circular
+    # projection has no orientation), their oriented-bbox dims agree
+    # within 10%, and the angle is in [0.25 deg, inplane_sweep_deg].
+    # inplane_sweep_steps=0 disables (the sweep grids are fixed).
     # (See inplane_sweep_fix for why NN-scored sweeps cannot see this
     # offset at cascade sampling density.)
     inplane_sweep_deg: float = 6.0
-    inplane_sweep_steps: int = 13  # odd: 0 deg sits on the coarse grid
-    inplane_dominance: float = 0.95
+    inplane_sweep_steps: int = 13
+    inplane_dominance: float = 0.7
     # Dilate the transplanted scene mask before extracting scene points.
     # The rendered mask lands at the MATCH position, which carries the
     # T0-1 px plateau of the coarse level; undilated, a 1-px offset clips
@@ -645,32 +646,52 @@ def inplane_sweep_fix(
     signal and the measured landscape is flat to 0.02% across +-5 deg.
 
     Instead, recover the offset in CLOSED FORM from each cloud's in-plane
-    rectangle orientation: project both clouds onto the dominant plane
-    (points within 5 mm of the median plane depth — drops side faces the
-    mis-posed render exposes), estimate each cloud's orientation by the
-    principal second-moment axis, refine it with a two-stage min-area
-    bounding-box sweep (the bbox area of a rectangle is V-shaped in
-    rotation, extreme-point driven, and immune to the NN noise floor),
-    and rotate the model about the dominant normal through its centroid
-    by the orientation DIFFERENCE — plane distances are invariant, so
-    ICP's converged depth alignment is preserved.
+    rectangle orientation: find the MODE scene normal by mean-shift (the
+    mean normal of a multi-face view points between faces; the mode locks
+    onto the dominant face — measured 0.996 aligned with the true error
+    axis on a two-face 1.35 deg tail view), project both clouds onto that
+    face's plane (points within 5 mm of the median plane depth — drops
+    side faces the mis-posed render exposes), estimate each cloud's
+    orientation by a full +-45 deg min-area bounding-box sweep (the bbox
+    area of a rectangle is V-shaped in rotation, pi/2-periodic,
+    extreme-point driven, and immune to the NN noise floor — a SQUARE
+    face still carries mod-90 orientation through its corners), and
+    rotate the model about the mode normal through its centroid by the
+    orientation DIFFERENCE — plane distances are invariant, so ICP's
+    converged depth alignment is preserved; the out-of-plane nudge this
+    gives any secondary face is re-converged by the template-refinement
+    ICP rounds that follow.
 
-    The fix applies only when the normals are degenerate (mean
-    |n . n_dom| > dominance), BOTH in-plane moment ellipses are
-    anisotropic (orientation well-defined; a square face has none), the
-    two clouds' oriented-bbox dimensions agree within 10% (same physical
+    The fix applies only when the in-plane mode is weakly constrained
+    (fraction of scene normals within ~25 deg of the mode > dominance),
+    BOTH clouds' bbox-area sweeps are modulated (>5% area swing across
+    angles; a near-circular projection has no orientation), the two
+    clouds' oriented-bbox dimensions agree within 10% (same physical
     rectangle — different visible extents make the orientation
     difference meaningless), and the correction is meaningful but
-    bounded (0.25 deg <= |angle| <= sweep_deg).
+    bounded (0.25 deg <= |angle| <= sweep_deg).  `steps=0` disables;
+    the sweep grids themselves are fixed (181 coarse x 21 fine).
 
     Returns (T_fix (4, 4), applied ()): T_fix is the identity when not
     applied."""
     nbar = pcu.masked_centroid(scene_n, scene_valid)
     n_dom = nbar / jnp.maximum(jnp.linalg.norm(nbar), 1e-9)
-    align = jnp.abs(scene_n @ n_dom)
-    dom_frac = jnp.sum(jnp.where(scene_valid, align, 0.0)) / jnp.maximum(
-        jnp.sum(scene_valid), 1
-    )
+    # Mean-shift to the MODE normal: average the sign-folded normals
+    # within ~25 deg of the current estimate (|dot| > 0.9), 4 rounds.
+    # Keeps the previous direction when nothing aligns (a 50/50 two-face
+    # tie folds to the diagonal, selects nothing, and the zero aligned
+    # fraction blocks the fix — ICP is fully constrained there anyway).
+    for _ in range(4):
+        dots = scene_n @ n_dom
+        w = scene_valid & (jnp.abs(dots) > 0.9)
+        folded = jnp.where(w[:, None], scene_n * jnp.sign(dots)[:, None], 0.0)
+        cand = jnp.sum(folded, axis=0)
+        ok = jnp.linalg.norm(cand) > 1e-9
+        n_dom = jnp.where(ok, cand / jnp.maximum(jnp.linalg.norm(cand), 1e-9),
+                          n_dom)
+    dom_frac = jnp.sum(
+        (scene_valid & (jnp.abs(scene_n @ n_dom) > 0.9)).astype(jnp.float32)
+    ) / jnp.maximum(jnp.sum(scene_valid), 1)
     deficient = dom_frac > dominance
     c0 = pcu.masked_centroid(model_pts, model_valid)
 
@@ -684,7 +705,7 @@ def inplane_sweep_fix(
     plane_eps = 5e-3  # m; render/sensor depth quantization is ~1-3 mm
 
     def _orientation(pts, valid):
-        """(angle of the principal in-plane axis, eigenvalue anisotropy)."""
+        """(bbox angle, bbox dims at that angle, area modulation)."""
         depth = pts @ n_dom
         med = jnp.nanmedian(jnp.where(valid, depth, jnp.nan))
         keep = valid & (jnp.abs(depth - med) < plane_eps)
@@ -692,23 +713,6 @@ def inplane_sweep_fix(
         q = jnp.stack([pts @ e1, pts @ e2], axis=-1)
         cq = jnp.sum(jnp.where(keep[:, None], q, 0.0), axis=0) / cnt
         qc = q - cq[None, :]
-        qm = jnp.where(keep[:, None], qc, 0.0)
-        C = qm.T @ qm / cnt
-        half_tr = 0.5 * (C[0, 0] + C[1, 1])
-        disc = jnp.sqrt(0.25 * (C[0, 0] - C[1, 1]) ** 2 + C[0, 1] ** 2)
-        aniso = (half_tr + disc) / jnp.maximum(half_tr - disc, 1e-12)
-        a0 = 0.5 * jnp.arctan2(2.0 * C[0, 1], C[0, 0] - C[1, 1])
-
-        def _area(th):
-            c, s = jnp.cos(th), jnp.sin(th)
-            x = qc[:, 0] * c + qc[:, 1] * s
-            y = -qc[:, 0] * s + qc[:, 1] * c
-            xk = jnp.where(keep, x, jnp.inf)
-            yk = jnp.where(keep, y, jnp.inf)
-            xK = jnp.where(keep, x, -jnp.inf)
-            yK = jnp.where(keep, y, -jnp.inf)
-            return ((jnp.max(xK) - jnp.min(xk))
-                    * (jnp.max(yK) - jnp.min(yk)))
 
         def _dims(th):
             c, s = jnp.cos(th), jnp.sin(th)
@@ -721,22 +725,28 @@ def inplane_sweep_fix(
             return jnp.stack([jnp.max(xK) - jnp.min(xk),
                               jnp.max(yK) - jnp.min(yk)])
 
-        half = sweep_deg * jnp.pi / 180.0
-        a1s = a0 + jnp.linspace(-half, half, steps)
+        def _area(th):
+            d = _dims(th)
+            return d[0] * d[1]
+
+        quarter_half = jnp.pi / 4.0
+        a1s = jnp.linspace(-quarter_half, quarter_half, 181)
         ar1 = jax.vmap(_area)(a1s)
         b1 = a1s[jnp.argmin(ar1)]
-        step1 = 2.0 * half / max(steps - 1, 1)
-        a2s = b1 + jnp.linspace(-step1, step1, 11)
+        half_deg = jnp.pi / 360.0
+        a2s = b1 + jnp.linspace(-half_deg, half_deg, 21)
         ar2 = jax.vmap(_area)(a2s)
         b2 = a2s[jnp.argmin(ar2)]
-        return b2, aniso, _dims(b2)
+        modulation = jnp.max(ar1) / jnp.maximum(jnp.min(ar1), 1e-12)
+        return b2, _dims(b2), modulation
 
-    ang_m, aniso_m, dims_m = _orientation(model_pts, model_valid)
-    ang_s, aniso_s, dims_s = _orientation(scene_pts, scene_valid)
+    ang_m, dims_m, mod_m = _orientation(model_pts, model_valid)
+    ang_s, dims_s, mod_s = _orientation(scene_pts, scene_valid)
+    mod_ok = (mod_m > 1.05) & (mod_s > 1.05)
     # Same physical rectangle: the two clouds' oriented-bbox dimensions
-    # must agree (0.3% on the real tail view) — a dominance-passing view
-    # whose clouds expose DIFFERENT extents would otherwise receive a
-    # spurious orientation difference.
+    # must agree (0.3-2.4% on the real tail views) — a dominance-passing
+    # view whose clouds expose DIFFERENT extents would otherwise receive
+    # a spurious orientation difference.
     dims_ok = jnp.all(
         jnp.abs(dims_m - dims_s)
         < 0.1 * jnp.maximum(jnp.maximum(dims_m, dims_s), 1e-6)
@@ -746,8 +756,7 @@ def inplane_sweep_fix(
     best = jnp.mod(ang_s - ang_m + quarter / 2, quarter) - quarter / 2
     cap = sweep_deg * jnp.pi / 180.0
     min_fix = 0.25 * jnp.pi / 180.0
-    applied = (active & deficient & dims_ok
-               & (aniso_m > 1.2) & (aniso_s > 1.2)
+    applied = (active & deficient & dims_ok & mod_ok
                & (jnp.abs(best) <= cap) & (jnp.abs(best) >= min_fix))
 
     Kx = jnp.array([
@@ -764,10 +773,10 @@ def inplane_sweep_fix(
         jax.debug.print(
             "[sweep] active={a} dom_frac={d:.4f} deficient={df} "
             "ang_m={am:.3f} ang_s={asc:.3f} best_deg={b:.3f} "
-            "aniso={nm:.2f}/{ns:.2f} dims_ok={dk} applied={ap}",
+            "mod={nm:.2f}/{ns:.2f} dims_ok={dk} applied={ap}",
             a=active, d=dom_frac, df=deficient,
             am=ang_m * 180.0 / jnp.pi, asc=ang_s * 180.0 / jnp.pi,
-            b=best * 180.0 / jnp.pi, nm=aniso_m, ns=aniso_s, dk=dims_ok,
+            b=best * 180.0 / jnp.pi, nm=mod_m, ns=mod_s, dk=dims_ok,
             ap=applied,
         )
     Rb = _rot(jnp.where(applied, best, 0.0))

@@ -488,32 +488,46 @@ def test_inplane_sweep_recovers_face_on_rotation():
     assert not bool(applied2)
 
 
-def test_inplane_sweep_real_failing_view():
-    """Regression anchor on the REAL clouds from the ACCURACY tail view
-    (boxNew view 45, face-on): the post-ICP model cloud sat 3.02 deg
-    in-plane from the scene (axis . dominant-normal = 0.9996) and the
-    NN-score sweep measured FLAT to 0.02% across +-5 deg, so the fix
-    never applied.  The rectangle-orientation estimator must apply a
-    correction within 0.5 deg of the true -3.02 about the dominant
-    normal (data/sweep_view45_clouds.npz, captured via LPE_DUMP_SWEEP)."""
+@pytest.mark.parametrize("stem,true_deg,min_axis_align", [
+    # view 45, face-on single plane: 3.02 deg in-plane, the NN-score
+    # sweep measured FLAT to 0.02% across +-5 deg so it never applied.
+    ("sweep_view45_clouds", 3.02, 0.999),
+    # view 0, TWO faces visible (mode-aligned fraction 0.84): ICP's
+    # in-plane mode is weakly constrained and left 1.35 deg; the mode
+    # normal (mean-shift) aligns 0.996 with the true error axis.
+    ("sweep_view00_clouds", 1.35, 0.99),
+])
+def test_inplane_sweep_real_failing_views(stem, true_deg, min_axis_align):
+    """Regression anchors on the REAL clouds of the two ACCURACY
+    deg_err tail views (captured via LPE_DUMP_SWEEP): the
+    rectangle-orientation estimator must apply a correction within
+    0.5 deg of the truth, about the mode scene normal."""
     import os
 
     z = np.load(os.path.join(os.path.dirname(__file__), "..", "data",
-                             "sweep_view45_clouds.npz"))
+                             f"{stem}.npz"))
     T_fix, applied = CC.inplane_sweep_fix(
         jnp.asarray(z["model"]), jnp.asarray(z["mvalid"]),
         jnp.asarray(z["scene"]), jnp.asarray(z["snorm"]),
         jnp.asarray(z["svalid"]), jnp.asarray(True),
-        sweep_deg=6.0, steps=13, dominance=0.95,
+        sweep_deg=6.0, steps=13, dominance=0.7,
     )
     assert bool(applied)
     R = np.asarray(T_fix[:3, :3])
     ang = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
-    assert abs(ang - 3.02) < 0.5, f"correction {ang} deg vs true 3.02"
-    # axis must be the dominant scene normal (in-plane repair only)
+    assert abs(ang - true_deg) < 0.5, f"correction {ang} deg vs {true_deg}"
+    # axis must be the mode scene normal (in-plane repair only); the
+    # plain mean normal is a good-enough proxy for the alignment check
+    # on the single-face view, so mean-shift it the same way here.
     ax = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     ax /= max(np.linalg.norm(ax), 1e-12)
     sn = np.asarray(z["snorm"])[np.asarray(z["svalid"]).astype(bool)]
-    n_dom = sn.mean(0)
-    n_dom /= np.linalg.norm(n_dom)
-    assert abs(ax @ n_dom) > 0.999
+    n = sn.mean(0)
+    n /= np.linalg.norm(n)
+    for _ in range(4):
+        w = np.abs(sn @ n) > 0.9
+        if not w.any():
+            break
+        n2 = (sn * np.sign(sn @ n)[:, None])[w].mean(0)
+        n = n2 / np.linalg.norm(n2)
+    assert abs(ax @ n) > min_axis_align
