@@ -269,15 +269,52 @@ def _bench_real_bank(B, iters, extra):
     grp = int(os.environ.get("LPE_BENCH_GROUP", "16"))
     gkw = {}
     if grp:
-        W_grp, gcnt = M.build_group_bound(feats1, C, T1, Kc1, grp)
+        W_grp, gcnt = M.build_group_bound(feats1, C, T1, Kc1, grp,
+                                          W_cell=W_cell)
         jax.block_until_ready((W_grp, gcnt))
         gkw = dict(W_group=W_grp, group_counts=gcnt, group=grp,
                    pool0=int(os.environ.get("LPE_BENCH_POOL0",
                                             str(2 * pool1))))
+    # Survivor-dot M-chunk probe: the (pool2, K) x (K, N) int8 dot's MFU
+    # degrades with M past ~1k on v5e (round-4 ledger: 89% at M=768 ->
+    # 68% at M=1536); sequential row-chunk dots re-read the static weight
+    # (~2 ms) but keep the good MXU rate.  Time the bare dot at the
+    # pool's M and let the measurement pick (results are bit-identical).
+    # LPE_BENCH_DOT_CHUNK=-1 (default) probes on TPU; >=0 forces.
+    m_chunk = int(os.environ.get("LPE_BENCH_DOT_CHUNK", "-1"))
+    if m_chunk < 0:
+        m_chunk = 0
+        if jax.default_backend() != "cpu":
+            P2 = min(pool2, pool1)
+            K_dim = W_gemm.shape[0]
+            A_probe = jnp.asarray(np.random.default_rng(7).integers(
+                0, 4, size=(P2, K_dim), dtype=np.int8))
+            dn = (((1,), (0,)), ((), ()))
+
+            def _dot_c(A, c):
+                if c and c < P2:
+                    return jnp.concatenate(
+                        [jax.lax.dot_general(
+                            jax.lax.slice_in_dim(A, i, min(i + c, P2), axis=0),
+                            W_gemm, dn, preferred_element_type=jnp.int32)
+                         for i in range(0, P2, c)], axis=0)
+                return jax.lax.dot_general(A, W_gemm, dn,
+                                           preferred_element_type=jnp.int32)
+
+            best = float("inf")
+            for c in (0, 512, 768):
+                if c and c >= P2:
+                    continue
+                dt_c = _time(jax.jit(lambda A, c=c: _dot_c(A, c)), 10,
+                             A_probe, label=f"dot_probe_chunk{c}")
+                if dt_c < best:
+                    best, m_chunk = dt_c, c
+    extra["real_dot_m_chunk"] = m_chunk
     orch_pool = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
                         M.match_pooled_fine_with_fallback(
                             Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1, Kc1,
-                            fine_g, pool1, pool2, top_k, Wc, **gkw))
+                            fine_g, pool1, pool2, top_k, Wc,
+                            m_chunk=m_chunk, **gkw))
 
     def match_pruned(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
         R0, R1 = pre_b(rgbs, depths)
@@ -302,12 +339,17 @@ def _bench_real_bank(B, iters, extra):
     extra["real_percap_batch_fps"] = round(B / dt, 2)
     # Headline = the faster of the two exact pruned paths (both equality-
     # gated below); the pooled path is expected to win once its pools are
-    # tuned, but the measurement decides.
-    if dt_pool <= dt:
+    # tuned, but the measurement decides.  LPE_BENCH_HEADLINE forces the
+    # selection (debug / smoke coverage of the losing path's plumbing).
+    forced = os.environ.get("LPE_BENCH_HEADLINE")
+    if forced == "pooled" or (forced is None and dt_pool <= dt):
         match_headline, extra["real_headline_path"] = match_pooled, "pooled"
+        fps = B / dt_pool
     else:
         match_headline, extra["real_headline_path"] = match_pruned, "per_frame_caps"
-    fps = B / min(dt, dt_pool)
+        fps = B / dt
+    if forced is None:
+        fps = B / min(dt, dt_pool)
     dt_ex = _time(match_ex, max(iters // 2, 5), rgbs, depths,
                   label=f"real_exhaustive_batch{B}")
     # Found rates for BOTH exact pruned paths, not just the headline
@@ -345,8 +387,25 @@ def _bench_real_bank(B, iters, extra):
     extra["real_pool_fine_total"] = int(pst.fine_total)
     extra["real_pool_caps"] = [pool1, pool2]
     extra["real_pool_fallback"] = bool(pst.fallback)
-    # Single-frame latency through the pruned production path.
-    dt1 = _time(match_pruned, iters, rgbs[:1], depths[:1], label="real_pruned_single")
+    # Single-frame latency through the HEADLINE production path (pool
+    # capacities are per-batch totals, so the pooled variant re-jits with
+    # pools scaled to B=1 — same per-frame slack as the headline config).
+    if extra["real_headline_path"] == "pooled":
+        gkw1 = dict(gkw, pool0=max(1, gkw["pool0"] // B)) if gkw else {}
+        orch_pool1 = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
+                             M.match_pooled_fine_with_fallback(
+                                 Rb, Wg, Wc_, Wf, cnt, vp, thr - 5.0, T1,
+                                 Kc1, fine_g, max(1, pool1 // B),
+                                 max(1, pool2 // B), top_k, Wc, **gkw1))
+
+        def match_single(rgbs, depths, Wg=W_gemm, Wc=W_cell, Wf=W_fine):
+            R0, R1 = pre_b(rgbs, depths)
+            cand, nv, _st = orch_pool1(R1, Wg, Wc, Wf, feats1.count, vpos)
+            return refine_nv(R0, cand, feats0, nv)
+    else:
+        match_single = match_pruned
+    dt1 = _time(match_single, iters, rgbs[:1], depths[:1],
+                label=f"real_{extra['real_headline_path']}_single")
     extra["real_single_frame_fps"] = round(1.0 / dt1, 2)
 
     # Real-bank RGB-only pruned throughput (the round-3 comparison point:
@@ -863,7 +922,10 @@ def _emit(real, extra, n_templates=10240, B=16) -> None:
         value = fps
     else:
         metric = f"linemod_rgbd_match_fps_per_chip_640x480_{n_templates}templates_batch{B}"
-        value = extra["synth_rgbd_batch_fps"]
+        # A REAL_ONLY run whose real-bank section failed has no synthetic
+        # number either — emit value 0 with the recorded error rather
+        # than crash without the JSON line.
+        value = extra.get("synth_rgbd_batch_fps", 0.0)
 
     print(
         json.dumps(

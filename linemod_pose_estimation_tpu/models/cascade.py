@@ -115,11 +115,12 @@ class CascadeParams:
     # clouds' bbox-area sweeps are >5% modulated (a near-circular
     # projection has no orientation), their oriented-bbox dims agree
     # within 10%, and the angle is in [0.25 deg, inplane_sweep_deg].
-    # inplane_sweep_steps=0 disables (the sweep grids are fixed).
+    # inplane_sweep=False disables (the sweep grids are fixed at
+    # 181 coarse x 21 fine — there is no density knob).
     # (See inplane_sweep_fix for why NN-scored sweeps cannot see this
     # offset at cascade sampling density.)
     inplane_sweep_deg: float = 6.0
-    inplane_sweep_steps: int = 13
+    inplane_sweep: bool = True
     inplane_dominance: float = 0.7
     # Dilate the transplanted scene mask before extracting scene points.
     # The rendered mask lands at the MATCH position, which carries the
@@ -632,7 +633,6 @@ def inplane_sweep_fix(
     scene_valid: jnp.ndarray,
     active: jnp.ndarray,
     sweep_deg: float,
-    steps: int,
     dominance: float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rank-deficiency repair for point-to-plane ICP (the face-on tail).
@@ -669,8 +669,9 @@ def inplane_sweep_fix(
     clouds' oriented-bbox dimensions agree within 10% (same physical
     rectangle — different visible extents make the orientation
     difference meaningless), and the correction is meaningful but
-    bounded (0.25 deg <= |angle| <= sweep_deg).  `steps=0` disables;
-    the sweep grids themselves are fixed (181 coarse x 21 fine).
+    bounded (0.25 deg <= |angle| <= sweep_deg).  The sweep grids are
+    fixed (181 coarse x 21 fine); CascadeParams.inplane_sweep disables
+    the stage wholesale.
 
     Returns (T_fix (4, 4), applied ()): T_fix is the identity when not
     applied."""
@@ -969,7 +970,7 @@ def _pose_one_hypothesis(
     model_final = model_pts_t @ icp_res.transform[:3, :3].T + icp_res.transform[:3, 3]
     hv_model_valid = model_valid
 
-    if p2plane and params.inplane_sweep_steps > 0:
+    if p2plane and params.inplane_sweep:
         import os as _os
         if _os.environ.get("LPE_DUMP_SWEEP"):
             def _dump(mp, mv, sp, sn, sv, act):
@@ -983,8 +984,7 @@ def _pose_one_hypothesis(
                                scene_n, scene_valid, active)
         T_fix, _applied = inplane_sweep_fix(
             model_final, model_valid, scene_pts, scene_n, scene_valid,
-            active, params.inplane_sweep_deg, params.inplane_sweep_steps,
-            params.inplane_dominance,
+            active, params.inplane_sweep_deg, params.inplane_dominance,
         )
         pose = T_fix @ pose
         model_final = model_final @ T_fix[:3, :3].T + T_fix[:3, 3]

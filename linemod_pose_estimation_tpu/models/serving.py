@@ -69,7 +69,7 @@ class BatchedMatcher:
                  fine_g: int | None = 4, fine_pos_cap: int | None = None,
                  pool_coarse: int | None = None, pool_fine: int | None = None,
                  sel_row_cap: int = 128, group_bound: int | None = None,
-                 pool_group: int | None = None):
+                 pool_group: int | None = None, dot_m_chunk: int = 0):
         p = detector.params
         bank = detector.bank(class_id)
         self.T0, self.T1 = p.t_pyramid
@@ -99,11 +99,19 @@ class BatchedMatcher:
         self.group_bound = group_bound
         self.pool_group = pool_group if pool_group is not None \
             else 2 * self.pool_coarse
+        # Row-chunk size for the pooled survivor dot (0 = one dot; see
+        # ops.match.coarse_scores_gemm_pooled — an MXU-rate knob for
+        # large pools on v5e, bit-identical either way).
+        self.dot_m_chunk = dot_m_chunk
         self.W_fine = None
         self.W_group = self.group_counts = None
         if prune_mode == "pooled" and not self.fine_g:
             raise ValueError("prune_mode='pooled' requires a fine_g that "
                              f"divides T1={self.T1}")
+        if prune_mode == "pooled" and not prune:
+            # match_batch gates on `prune`; without this a pooled-mode
+            # matcher would silently run the exhaustive path.
+            raise ValueError("prune_mode='pooled' requires prune=True")
         if prune:
             n_mod = 2 if self.use_depth else 1
             if prune_mode == "two_axis":
@@ -117,7 +125,8 @@ class BatchedMatcher:
                 )
             if prune_mode == "pooled" and group_bound:
                 self.W_group, self.group_counts = M.build_group_bound(
-                    self.feats1, 8 * n_mod, self.T1, self.Kc1, group_bound
+                    self.feats1, 8 * n_mod, self.T1, self.Kc1, group_bound,
+                    W_cell=self.W_cell,
                 )
         self._build()
 
@@ -150,6 +159,7 @@ class BatchedMatcher:
             p1, p2, rcap = self.pool_coarse, self.pool_fine, self.sel_row_cap
             grp, p0 = self.group_bound, self.pool_group
             Wgr, gcnt = self.W_group, self.group_counts
+            mck = self.dot_m_chunk
 
             def _match_pool(Rb, W_gemm, W_cell, W_fine, f1, Hc, Wc):
                 vpos = M.position_validity_flat(f1.size, T1, Hc, Wc)
@@ -159,7 +169,8 @@ class BatchedMatcher:
                               group=grp)
                 return M.match_pooled_fine_with_fallback(
                     Rb, W_gemm, W_cell, W_fine, f1.count, vpos, thr - 5.0,
-                    T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap, **kw,
+                    T1, Kc1, g, p1, p2, top_k, Wc, r_cap=rcap,
+                    m_chunk=mck, **kw,
                 )
 
             self._match_pool = jax.jit(_match_pool,
@@ -472,12 +483,17 @@ class PipelinedRunner:
 
     def submit(self, *args, **kwargs):
         """Dispatch one step; returns the oldest COMPLETED result when the
-        pipeline was full, else None."""
-        out = None
-        if len(self._q) >= self.depth:
-            out = self.collect()
+        pipeline was full, else None.
+
+        Dispatch happens BEFORE the blocking collect: if fn raises (e.g. a
+        transient RESOURCE_EXHAUSTED), no already-collected result is lost
+        and the in-flight queue is unchanged, so caller-side metadata
+        pairing (one stamp per submitted frame) stays in sync.  The queue
+        momentarily holds depth+1 dispatched steps inside this call."""
         self._q.append(self.fn(*args, **kwargs))
-        return out
+        if len(self._q) > self.depth:
+            return self.collect()
+        return None
 
     def collect(self):
         """Block on and return the oldest in-flight result."""

@@ -1172,7 +1172,8 @@ def pool_plan_from_margins(margins: jnp.ndarray, cap: int) -> PoolPlan:
 
 @partial(jax.jit, static_argnames=("C", "T", "Kc", "group"))
 def build_group_bound(
-    feats: LevelFeatures, C: int, T: int, Kc: int, group: int
+    feats: LevelFeatures, C: int, T: int, Kc: int, group: int,
+    W_cell: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Group-max cell-bound weights: (Ng, C*Kc*Kc) int8 with
     W_group[g, bin] = max over the group's templates of W_cell[n, bin],
@@ -1185,8 +1186,11 @@ def build_group_bound(
     `group`x fewer GEMM columns whose survivors are re-tested by the
     per-template bound at pooled positions only (pool_plan_grouped).
     Banks order templates along the view-sphere walk, so neighbours are
-    similar views and the group max stays tight."""
-    Wc_ = build_cell_weights(feats, C, T, Kc)  # (N, bins)
+    similar views and the group max stays tight.
+
+    Pass the caller's existing `W_cell` (every production caller already
+    holds it) to skip rebuilding the (N, bins) scatter."""
+    Wc_ = build_cell_weights(feats, C, T, Kc) if W_cell is None else W_cell
     N = Wc_.shape[0]
     Ng = -(-N // group)
     pad = Ng * group - N
@@ -1350,7 +1354,7 @@ def fine_ub_at_pool(
     )  # (M, N)
 
 
-@partial(jax.jit, static_argnames=("T", "Kc"))
+@partial(jax.jit, static_argnames=("T", "Kc", "m_chunk"))
 def coarse_scores_gemm_pooled(
     Rb: jnp.ndarray,
     W_gemm: jnp.ndarray,
@@ -1358,11 +1362,19 @@ def coarse_scores_gemm_pooled(
     pos: jnp.ndarray,
     T: int,
     Kc: int,
+    m_chunk: int = 0,
 ) -> jnp.ndarray:
     """Exact coarse GEMM over POOL candidates: (M, N) int32 with the same
     static (K, N) weight matrix as the exhaustive engine (the pooled twin
     of coarse_scores_gemm_flat_batched_pos; scores are bit-identical rows
-    of the exhaustive GEMM)."""
+    of the exhaustive GEMM).
+
+    `m_chunk` > 0 splits the (M, K) x (K, N) dot into sequential
+    row-chunk dots (identical int32 results, concatenated): on v5e the
+    big dot's MFU degrades with M past ~1k (round-4 ledger: 89% at
+    M=768 -> 68% at M=1536), and re-reading the static weight per chunk
+    (~2 ms at 1.57 GB) can be cheaper than the lost MXU rate.  The bench
+    times both and picks per-run (the measurement decides)."""
     B, C, H, W = Rb.shape
     Hc, Wc_ = H // T, W // T
     L = jax.vmap(lambda R: linearize_responses_lanes(R, T, Kc))(Rb)
@@ -1373,9 +1385,21 @@ def coarse_scores_gemm_pooled(
     col0 = pos % Wc_
     M_ = frame.shape[0]
     P_sub = gather_windows_pooled(L3, row0, col0, Kc)
+    dn = (((1,), (0,)), ((), ()))
+    if m_chunk and m_chunk < M_:
+        return jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    jax.lax.slice_in_dim(P_sub, i, min(i + m_chunk, M_), axis=0),
+                    W_gemm, dimension_numbers=dn,
+                    preferred_element_type=jnp.int32,
+                )
+                for i in range(0, M_, m_chunk)
+            ],
+            axis=0,
+        )
     return jax.lax.dot_general(
-        P_sub, W_gemm,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        P_sub, W_gemm, dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )  # (M, N)
 
@@ -1447,7 +1471,7 @@ class PooledStats(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "T", "Kc", "g", "pool1", "pool2", "top_k", "Wc", "r_cap", "pool0",
-    "group"
+    "group", "m_chunk"
 ))
 def match_pooled_fine_with_fallback(
     Rb: jnp.ndarray,
@@ -1469,6 +1493,7 @@ def match_pooled_fine_with_fallback(
     group_counts: jnp.ndarray | None = None,
     pool0: int | None = None,
     group: int | None = None,
+    m_chunk: int = 0,
 ) -> tuple[CoarseMatches, jnp.ndarray, PooledStats]:
     """Two-stage exact pruning over a BATCH-SHARED survivor pool (the
     per-frame-granular twin of match_coarse_pruned_fine_with_fallback).
@@ -1492,6 +1517,11 @@ def match_pooled_fine_with_fallback(
     group-max pre-bound kills the full (B, P, N) bound GEMM + epilogue;
     the resulting plan holds the identical eligible set, so everything
     downstream (and the exactness argument) is unchanged."""
+    if T % g != 0:
+        # Same contract as build_cell_weights_fine / the multiclass twin:
+        # fail here with the actionable message, not mid-trace in the
+        # fine_ub reshape.
+        raise ValueError(f"g={g} must divide T={T}")
     B = Rb.shape[0]
     if W_group is not None:
         pp = pool_plan_grouped(
@@ -1524,14 +1554,16 @@ def match_pooled_fine_with_fallback(
         of2 = total2 > P2
 
         def _fine(_):
-            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc)
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc,
+                                            m_chunk=m_chunk)
             return select_candidates_pooled(
                 raw, total_features, vpos_flat, frame2, pos2, keep2,
                 starts2, fine_m, threshold, top_k, Wc, r_cap,
             )
 
         def _coarse(_):
-            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc)
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc,
+                                            m_chunk=m_chunk)
             return select_candidates_pooled(
                 raw, total_features, vpos_flat, pp.frame, pp.pos, pp.keep,
                 pp.starts, pp.m_survivors, threshold, top_k, Wc, r_cap,
@@ -1581,7 +1613,7 @@ def match_pooled_fine_with_fallback(
 
 @partial(jax.jit, static_argnames=(
     "class_slices", "thresholds", "T", "Kc", "g", "pool1", "pool2",
-    "top_k", "Wc", "r_cap"
+    "top_k", "Wc", "r_cap", "m_chunk"
 ))
 def match_pooled_multiclass(
     Rb: jnp.ndarray,
@@ -1600,6 +1632,7 @@ def match_pooled_multiclass(
     top_k: int,
     Wc: int,
     r_cap: int = 128,
+    m_chunk: int = 0,
 ):
     """Pooled twin of match_coarse_pruned_multiclass over a MERGED bank:
     ONE margin pass + ONE pooled fine re-test (both at min(thresholds), so
@@ -1656,11 +1689,13 @@ def match_pooled_multiclass(
         of2 = total2 > P2
 
         def _fine(_):
-            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc)
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, frame2, pos2, T, Kc,
+                                            m_chunk=m_chunk)
             return _sel_all(raw, frame2, pos2, keep2, starts2, fine_m)
 
         def _coarse(_):
-            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc)
+            raw = coarse_scores_gemm_pooled(Rb, W_gemm, pp.frame, pp.pos, T, Kc,
+                                            m_chunk=m_chunk)
             return _sel_all(raw, pp.frame, pp.pos, pp.keep, pp.starts,
                             pp.m_survivors)
 

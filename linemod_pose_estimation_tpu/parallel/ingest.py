@@ -104,14 +104,20 @@ class PacedSource:
     streaming bench measure latency UNDER LOAD rather than in lockstep."""
 
     def __init__(self, fn: Callable[[], object], fps: float,
-                 start: float = 0.0, max_backlog: int = 64):
+                 start: float | None = None, max_backlog: int = 64):
         self.fn = fn
         self.period = 1.0 / float(fps)
+        # None = anchor the cadence to the FIRST poll's clock.  A fixed
+        # default (0.0) against a perf_counter-based `now` (~uptime) would
+        # fabricate millions of "elapsed" frames on the first poll and
+        # corrupt the dropped/backlog statistics.
         self._next_due = start
         self.max_backlog = max_backlog
         self.dropped = 0
 
     def poll(self, now: float):
+        if self._next_due is None:
+            self._next_due = now
         if now < self._next_due:
             return None
         behind = int((now - self._next_due) / self.period)

@@ -455,7 +455,7 @@ def test_inplane_sweep_recovers_face_on_rotation():
         jnp.asarray(model_pts), jnp.asarray(model_valid),
         jnp.asarray(scene_pts), jnp.asarray(scene_n),
         jnp.asarray(scene_valid), jnp.asarray(True),
-        sweep_deg=6.0, steps=13, dominance=0.95,
+        sweep_deg=6.0, dominance=0.95,
     )
     assert bool(applied)
     ang = float(geo.rotation_geodesic_deg(
@@ -471,7 +471,7 @@ def test_inplane_sweep_recovers_face_on_rotation():
         jnp.asarray(scene_pts), jnp.asarray(model_valid),
         jnp.asarray(scene_pts), jnp.asarray(scene_n),
         jnp.asarray(scene_valid), jnp.asarray(True),
-        sweep_deg=6.0, steps=13, dominance=0.95,
+        sweep_deg=6.0, dominance=0.95,
     )
     assert not bool(applied0)
     np.testing.assert_allclose(np.asarray(T_id), np.eye(4), atol=1e-5)
@@ -483,7 +483,7 @@ def test_inplane_sweep_recovers_face_on_rotation():
         jnp.asarray(model_pts), jnp.asarray(model_valid),
         jnp.asarray(scene_pts), jnp.asarray(scene_n2),
         jnp.asarray(scene_valid), jnp.asarray(True),
-        sweep_deg=6.0, steps=13, dominance=0.95,
+        sweep_deg=6.0, dominance=0.95,
     )
     assert not bool(applied2)
 
@@ -510,7 +510,7 @@ def test_inplane_sweep_real_failing_views(stem, true_deg, min_axis_align):
         jnp.asarray(z["model"]), jnp.asarray(z["mvalid"]),
         jnp.asarray(z["scene"]), jnp.asarray(z["snorm"]),
         jnp.asarray(z["svalid"]), jnp.asarray(True),
-        sweep_deg=6.0, steps=13, dominance=0.7,
+        sweep_deg=6.0, dominance=0.7,
     )
     assert bool(applied)
     R = np.asarray(T_fix[:3, :3])

@@ -257,3 +257,39 @@ def test_grouped_prebound_equals_ungrouped(rng):
     )
     assert bool(grp_of[2].fallback)
     assert _valid_set(grp_of[0]) == _valid_set(base[0])
+
+
+def test_m_chunked_dot_bitwise_equal(rng):
+    """m_chunk splits the pooled survivor dot into sequential row-chunk
+    dots (an MXU-rate knob for large M on v5e); scores and the full
+    orchestrator output must be bit-identical, including a chunk that
+    does not divide the pool size."""
+    n = 64
+    feats = _bank(rng, n)
+    Rb = np.array(_frames(rng, b=3))
+    for b, (tid, py, px) in enumerate([(3, 2, 4), (10, 7, 9), (40, 1, 11)]):
+        Rb = _plant(Rb, feats, tid, b, py, px)
+    Rb = jnp.asarray(Rb)
+    Hc, Wcc = Rb.shape[2] // T1, Rb.shape[3] // T1
+    vpos = M.position_validity_flat(feats.size, T1, Hc, Wcc)
+    Wg, Wc, Wf = _weights(feats)
+    thr, top_k = 85.0, 64
+
+    # Raw GEMM twin at arbitrary pool candidates.
+    Mn = 37
+    frame = jnp.asarray(rng.integers(0, 3, size=(Mn,)).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, Hc * Wcc, size=(Mn,)).astype(np.int32))
+    base = M.coarse_scores_gemm_pooled(Rb, Wg, frame, pos, T1, KC)
+    for chunk in (8, 16, 37, 64):
+        got = M.coarse_scores_gemm_pooled(Rb, Wg, frame, pos, T1, KC,
+                                          m_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+    kw = dict(pool1=512, pool2=256, top_k=top_k, Wc=Wcc, r_cap=512)
+    ref = M.match_pooled_fine_with_fallback(
+        Rb, Wg, Wc, Wf, feats.count, vpos, thr, T1, KC, G, **kw)
+    chk = M.match_pooled_fine_with_fallback(
+        Rb, Wg, Wc, Wf, feats.count, vpos, thr, T1, KC, G, m_chunk=96, **kw)
+    assert not bool(chk[2].fallback)
+    assert _valid_set(chk[0]) == _valid_set(ref[0])
+    np.testing.assert_array_equal(np.asarray(chk[1]), np.asarray(ref[1]))

@@ -93,3 +93,44 @@ def test_poll_batch_under_slow_consumer_accumulates():
     assert r1[3] == 2
     r2 = fb.poll_batch(now=0.05)  # 5 more periods elapsed per camera
     assert r2[3] == 10
+
+
+def test_pipelined_runner_submit_failure_loses_nothing():
+    """A raising fn must not swallow an already-collected result or desync
+    result/metadata pairing: dispatch happens before the blocking collect,
+    so a failed submit leaves the queue exactly as it was."""
+    calls = {"n": 0}
+
+    def f(x):
+        calls["n"] += 1
+        if x == "boom":
+            raise RuntimeError("transient")
+        return x + 1
+
+    run = PipelinedRunner(f, depth=2)
+    assert run.submit(0) is None
+    assert run.submit(10) is None
+    try:
+        run.submit("boom")
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("expected the fn's error to propagate")
+    # Both in-flight results survive the failed submit, in order.
+    assert len(run) == 2
+    assert run.submit(20) == 1
+    assert run.drain() == [11, 21]
+
+
+def test_paced_source_lazy_start_anchor():
+    """Default start=None anchors the cadence to the FIRST poll's clock
+    (perf_counter-scale `now` must not fabricate elapsed frames/drops)."""
+    src = PacedSource(lambda: "f", fps=10.0, max_backlog=4)
+    uptime = 98765.4321  # perf_counter-style big clock
+    f, t = src.poll(uptime)
+    assert (f, t) == ("f", uptime)
+    assert src.dropped == 0
+    assert src.poll(uptime + 0.05) is None
+    f2, t2 = src.poll(uptime + 0.1)
+    assert f2 == "f" and abs(t2 - (uptime + 0.1)) < 1e-9
+    assert src.dropped == 0

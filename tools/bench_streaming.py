@@ -17,7 +17,8 @@ load ~= measured capacity, the latency-under-load story) and saturated
 
 Usage: python tools/bench_streaming.py   (real TPU; no platform override)
 Env: LPE_STREAM_SECS (default 30), LPE_STREAM_CAMS (8), LPE_STREAM_BATCH
-(32), LPE_STREAM_FPS (per-camera cadence; default picks ~0.9x capacity).
+(32), LPE_STREAM_FPS (per-camera cadence; default picks ~0.9x capacity),
+LPE_STREAM_TILE (bank tile target, default 10240 — shrink for CPU smokes).
 """
 
 import json
@@ -33,6 +34,11 @@ sys.path.insert(0, REPO)
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
+# Honour an EXPLICIT host-CPU override (interim/smoke runs): the
+# environment's sitecustomize re-forces the axon platform via jax.config,
+# so the env var alone is not enough (same pattern as bench.py).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -71,7 +77,8 @@ def build_step(Bsz):
     pool2 = int(os.environ.get("LPE_STREAM_POOL2", str(40 * Bsz)))
 
     n0 = bank.num_templates
-    reps = max(1, -(-10240 // n0))
+    tile_to = int(os.environ.get("LPE_STREAM_TILE", "10240"))
+    reps = max(1, -(-tile_to // n0))
     N = ((n0 * reps + 127) // 128) * 128
     feats1 = B._tile_features(bank.merged_features(1), reps, N)
     feats0 = B._tile_features(bank.merged_features(0), reps, N)

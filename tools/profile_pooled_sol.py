@@ -100,7 +100,8 @@ def main():
     thru(pool_f, margins, label=f"coarse pool build ({pool1})")
     # Grouped pre-bound alternative for the whole coarse plan.
     grp = 16
-    W_grp, gcnt = M.build_group_bound(feats1, C, T1, Kc1, grp)
+    W_grp, gcnt = M.build_group_bound(feats1, C, T1, Kc1, grp,
+                                      W_cell=W_cell)
     jax.block_until_ready((W_grp, gcnt))
     grp_f = jax.jit(lambda Rb: M.pool_plan_grouped(
         Rb, W_cell, W_grp, gcnt, feats1.count, vpos, sel_thr, T1, Kc1,
@@ -162,6 +163,33 @@ def main():
         ms = thru(dot_f, A, n=20, label=f"  M={Mrows}")
         fl = Mrows * K_dim * N / INT8_MACS * 1e3
         print(f"    floor {fl:.2f} ms -> MFU ~{100 * fl / ms:.0f}%")
+
+    # M-CHUNKED variants: if the MFU drop is an M-tiling pathology, a
+    # sequence of row-chunk dots (each at the good M) beats the single
+    # big dot even though XLA re-reads the 1.57 GB weight per chunk —
+    # the weight read is ~2 ms vs the ~6 ms/chunk of compute, so two
+    # 89%-MFU chunks (~13.6 + 2 ms) would beat one 68% dot (17.9 ms).
+    # If this WINS, wire a dot_m_chunk knob into the pooled path.
+    print("\nM-chunked survivor dot (sequential row-chunk dots):")
+
+    def chunked(A, chunk):
+        outs = [
+            jax.lax.dot_general(
+                jax.lax.slice_in_dim(A, i, i + chunk, axis=0), W_gemm,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            for i in range(0, A.shape[0], chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    for Mrows in (1536, 2048):
+        A = jnp.asarray(rngx.integers(0, 4, size=(Mrows, K_dim), dtype=np.int8))
+        fl = Mrows * K_dim * N / INT8_MACS * 1e3
+        for chunk in (512, 768, 1024):
+            if Mrows % chunk:
+                continue
+            f = jax.jit(lambda A, c=chunk: chunked(A, c))
+            ms = thru(f, A, n=20, label=f"  M={Mrows} chunk={chunk}")
+            print(f"    floor {fl:.2f} ms -> MFU ~{100 * fl / ms:.0f}%")
 
     # Pooled select + walk.
     fine_m = jnp.zeros((Bsz,), jnp.int32).at[fr2].add(
