@@ -291,22 +291,25 @@ def _bench_real_bank(B, iters, extra):
                 0, 4, size=(P2, K_dim), dtype=np.int8))
             dn = (((1,), (0,)), ((), ()))
 
-            def _dot_c(A, c):
+            # W is an ARGUMENT, never a closure: a jit-captured const of
+            # this size (1.57 GB) rides inside the remote-compile request
+            # body on the tunneled backend, which rejects it (HTTP 413).
+            def _dot_c(A, W, c):
                 if c and c < P2:
                     return jnp.concatenate(
                         [jax.lax.dot_general(
                             jax.lax.slice_in_dim(A, i, min(i + c, P2), axis=0),
-                            W_gemm, dn, preferred_element_type=jnp.int32)
+                            W, dn, preferred_element_type=jnp.int32)
                          for i in range(0, P2, c)], axis=0)
-                return jax.lax.dot_general(A, W_gemm, dn,
+                return jax.lax.dot_general(A, W, dn,
                                            preferred_element_type=jnp.int32)
 
             best = float("inf")
             for c in (0, 512, 768):
                 if c and c >= P2:
                     continue
-                dt_c = _time(jax.jit(lambda A, c=c: _dot_c(A, c)), 10,
-                             A_probe, label=f"dot_probe_chunk{c}")
+                dt_c = _time(jax.jit(lambda A, W, c=c: _dot_c(A, W, c)), 10,
+                             A_probe, W_gemm, label=f"dot_probe_chunk{c}")
                 if dt_c < best:
                     best, m_chunk = dt_c, c
     extra["real_dot_m_chunk"] = m_chunk
