@@ -312,6 +312,7 @@ def _bench_real_bank(B, iters, extra):
                              A_probe, W_gemm, label=f"dot_probe_chunk{c}")
                 if dt_c < best:
                     best, m_chunk = dt_c, c
+            del A_probe  # ~113 MB; dead past the probe
     extra["real_dot_m_chunk"] = m_chunk
     orch_pool = jax.jit(lambda Rb, Wg, Wc_, Wf, cnt, vp:
                         M.match_pooled_fine_with_fallback(
@@ -553,9 +554,14 @@ def _bench_real_bank(B, iters, extra):
                 raise
             _log(f"two-object at batch {B} exhausted HBM; retrying at 16")
             _two_object_try(16)
-        del W_gemm_m, W_cell_m, W_fine_m, f1m, f0m
     except Exception as e:  # pragma: no cover
         extra["two_object_error"] = str(e)[:200]
+    finally:
+        # Free the ~3.3 GB merged-class weights UNCONDITIONALLY: when both
+        # two-object attempts exhaust HBM, leaking them into the e2e
+        # section starves it too (observed: e2e RESOURCE_EXHAUSTED only
+        # after a two-object OOM).
+        del W_gemm_m, W_cell_m, W_fine_m, f1m, f0m
 
     # End-to-end p50 on a REAL scene: match + the full cascade (voting,
     # NMS, orientation clustering, viewport re-render, two-stage ICP, HV)
